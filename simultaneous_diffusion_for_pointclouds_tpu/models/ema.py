@@ -1,0 +1,18 @@
+"""Exponential moving average of a parameter pytree.
+
+Functional equivalent of the reference's ``EMAHelper`` (models/ema.py:4-47):
+``shadow = mu * shadow + (1 - mu) * param`` after every optimizer step, with
+the EMA params usable as a drop-in parameter tree for sampling/eval.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def ema_init(params):
+    return jax.tree.map(lambda p: p, params)
+
+
+def ema_update(shadow, params, mu: float = 0.999):
+    return jax.tree.map(lambda s, p: mu * s + (1.0 - mu) * p, shadow, params)

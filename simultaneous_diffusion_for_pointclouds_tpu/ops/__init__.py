@@ -1,0 +1,22 @@
+from .geometry import (
+    RangeGrid,
+    kitti_host_grid,
+    kitti_sampler_grid,
+    log_compress,
+    log_decompress,
+    signed_log_decompress,
+    MAX_RANGE,
+)
+from .scatter import zbuffer_stats, ZBufferStats
+
+__all__ = [
+    "RangeGrid",
+    "kitti_host_grid",
+    "kitti_sampler_grid",
+    "log_compress",
+    "log_decompress",
+    "signed_log_decompress",
+    "MAX_RANGE",
+    "zbuffer_stats",
+    "ZBufferStats",
+]

@@ -1,0 +1,57 @@
+import numpy as np
+
+from simultaneous_diffusion_for_pointclouds_tpu.ops import zbuffer_stats
+
+
+def _numpy_oracle(keys, value, payload, valid, num_segments):
+    sum_v = np.zeros(num_segments)
+    sum_p = np.zeros(num_segments)
+    count = np.zeros(num_segments)
+    min_v = np.zeros(num_segments)
+    min_p = np.zeros(num_segments)
+    best = np.full(num_segments, np.inf)
+    for k, v, p, ok in zip(keys, value, payload, valid):
+        k = int(k) if ok else num_segments - 1
+        if not ok:
+            continue
+        sum_v[k] += v
+        sum_p[k] += p
+        count[k] += 1
+        if v < best[k]:
+            best[k] = v
+            min_v[k] = v
+            min_p[k] = p
+    return sum_v, sum_p, count, min_v, min_p
+
+
+def test_zbuffer_stats_matches_oracle():
+    rng = np.random.default_rng(0)
+    n, segs = 5000, 64
+    keys = rng.integers(0, segs - 1, n).astype(np.int32)
+    value = rng.uniform(0, 10, n).astype(np.float32)
+    payload = rng.normal(size=n).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.3
+
+    stats = zbuffer_stats(keys, value, payload, valid, segs)
+    sum_v, sum_p, count, min_v, min_p = _numpy_oracle(keys, value, payload, valid, segs)
+
+    live = slice(0, segs - 1)  # last segment is the trash bin
+    np.testing.assert_allclose(np.asarray(stats.sum_value)[live], sum_v[live], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats.sum_payload)[live], sum_p[live], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats.count)[live], count[live])
+    np.testing.assert_allclose(np.asarray(stats.min_value)[live], min_v[live], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats.min_payload)[live], min_p[live], rtol=1e-5, atol=1e-5)
+
+
+def test_zbuffer_empty_segments_are_zero():
+    keys = np.array([3, 3], dtype=np.int32)
+    value = np.array([1.0, 2.0], dtype=np.float32)
+    payload = np.array([5.0, 7.0], dtype=np.float32)
+    valid = np.array([True, True])
+    stats = zbuffer_stats(keys, value, payload, valid, 8)
+    assert float(stats.count[0]) == 0.0
+    assert float(stats.min_value[0]) == 0.0
+    assert float(stats.min_payload[0]) == 0.0
+    assert float(stats.min_value[3]) == 1.0
+    assert float(stats.min_payload[3]) == 5.0
+    assert float(stats.sum_value[3]) == 3.0
