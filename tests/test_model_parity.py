@@ -1,0 +1,104 @@
+"""Numerical parity: Flax NCSNv2 family vs the reference torch models.
+
+The reference models are loaded read-only as golden oracles (with CUDA calls
+stubbed out so they run on CPU torch); weights are converted with our torch
+checkpoint converter and forwards compared to ~1e-4.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from simultaneous_diffusion_for_pointclouds_tpu.models import (
+    NCSNv2,
+    NCSNv2Deepest,
+    NCSNLiDARSmall,
+)
+from simultaneous_diffusion_for_pointclouds_tpu.utils.torch_convert import (
+    torch_state_dict_to_flax,
+)
+
+REF = "/root/reference/LiDARGen"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+
+
+def _small_config(channels=2, h=16, w=32, ngf=16, num_classes=8):
+    ns = argparse.Namespace
+    return ns(
+        data=ns(
+            channels=channels,
+            image_size=h,
+            image_width=w,
+            logit_transform=False,
+            rescaled=False,
+            dataset="KITTI",
+        ),
+        model=ns(
+            sigma_begin=50.0,
+            sigma_end=0.01,
+            num_classes=num_classes,
+            sigma_dist="geometric",
+            normalization="InstanceNorm++",
+            nonlinearity="elu",
+            ngf=ngf,
+        ),
+        device="cpu",
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # stub CUDA so reference forward paths run on CPU torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    import models.ncsnv2 as ref_ncsnv2
+
+    return ref_ncsnv2
+
+
+def _compare(ref_model, flax_model, cfg, seed=0):
+    torch.manual_seed(seed)
+    ref_model.eval()
+    b, c = 3, cfg.data.channels
+    h, w = cfg.data.image_size, cfg.data.image_width
+    x = np.random.default_rng(seed).uniform(0, 1, (b, c, h, w)).astype(np.float32)
+    labels = np.array([0, cfg.model.num_classes // 2, cfg.model.num_classes - 1])
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), torch.from_numpy(labels)).numpy()
+
+    import jax
+
+    variables = flax_model.init(jax.random.PRNGKey(0), x, labels)
+    params = torch_state_dict_to_flax(ref_model.state_dict(), variables["params"])
+    ours = np.asarray(flax_model.apply({"params": params}, x, labels))
+
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_ncsn_lidar_small_parity(ref_models):
+    cfg = _small_config()
+    ref = ref_models.NCSN_LiDAR_small(cfg)
+    flax_model = NCSNLiDARSmall(cfg)
+    _compare(ref, flax_model, cfg)
+
+
+def test_ncsnv2_parity(ref_models):
+    cfg = _small_config(channels=1)
+    ref = ref_models.NCSNv2(cfg)
+    flax_model = NCSNv2(cfg)
+    _compare(ref, flax_model, cfg)
+
+
+def test_ncsnv2_deepest_parity(ref_models):
+    cfg = _small_config(h=32, w=64)
+    ref = ref_models.NCSNv2Deepest(cfg)
+    flax_model = NCSNv2Deepest(cfg)
+    _compare(ref, flax_model, cfg)
