@@ -1,0 +1,244 @@
+"""Cross-view reproject-and-merge consistency — the core of "simultaneous
+diffusion", as one batched XLA program.
+
+Reference semantics (models/__init__.py:263-579 for the offset-origin
+variant; models/KITTISampling.py:160-490 for the pose-matrix variant): after
+every Langevin update, each view's diffusing range image is un-logged to 3D,
+all ``actual_batch_size`` views of a scene are merged into one shared cloud,
+the cloud is re-projected into every view on an extended vertical grid,
+colliding points are reduced per pixel (average / min / controlled average),
+negative-range pixels take the flipped+rolled "opposite" pixel, and each
+view is nudged toward its shared image:
+``x += corr_coef * (-mask_shared * ~known * (x - shared))``.
+
+The reference runs this as a *serialized Python loop over all 42 views*,
+each iteration doing argsort + two stable sorts + unique_consecutive + three
+sparse scatters.  Here the whole merge is one ``zbuffer_stats`` call over
+flattened (view, row, col) segment keys — every view in parallel, no
+data-dependent shapes, jit/scan-safe.
+
+Variant differences (faithfully preserved):
+
+===========================  =======================  =====================
+behaviour                    offsets (basic)          poses (kitti)
+===========================  =======================  =====================
+source-pixel sky filter      ON  (:355-359)           OFF (commented, :267)
+min-depth-to-trust filter    always (:363-367)        only setting==5 (:271)
+controlled average           setting>=7 (:449)        always (:363-391)
+allowance                    10 (5 if setting>=8)     caller-supplied
+origin quirk                 log-roundtrip/(o+1e-8)   n/a (pose matrices)
+                             *10 => sign(o)*10 !
+===========================  =======================  =====================
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import (
+    RangeGrid,
+    crop_big_with_negatives,
+    log_compress,
+    project_bins,
+    signed_log_decompress,
+    unproject,
+)
+from ..ops.scatter import zbuffer_stats
+
+
+def effective_origins(modifications: np.ndarray) -> np.ndarray:
+    """The reference's origin rescaling quirk (models/__init__.py:224-231).
+
+    ``o -> (2^(6 * log2(|o|+1)/6) - 1) / (o + 1e-8) * 10``, i.e. ~``|o|/o*10``:
+    every nonzero offset component collapses to +/-10 metres regardless of
+    magnitude, and zeros stay ~0.  Preserved because the shipped behaviour
+    (and any tuned hyperparameters) depend on it.
+    """
+    o = np.asarray(modifications, dtype=np.float64)
+    roundtrip = np.power(2.0, np.log2(np.abs(o) + 1.0)) - 1.0
+    return roundtrip / (o + 1e-8) * 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ConsistencyConfig:
+    """Static knobs of the merge (hashable; safe to close over in jit)."""
+
+    grid: RangeGrid
+    actual_batch_size: int
+    setting: int = 5
+    allowance: float = 10.0
+    variant: str = "offsets"  # "offsets" | "poses"
+    too_high_threshold: float = 50.0
+    min_depth_to_trust: float = 0.2  # metres
+
+    @property
+    def use_src_sky(self) -> bool:
+        return self.variant == "offsets"
+
+    @property
+    def use_min_depth(self) -> bool:
+        if self.variant == "offsets":
+            return True
+        return self.setting == 5
+
+    @property
+    def use_controlled_average(self) -> bool:
+        if self.variant == "poses":
+            return True
+        return self.setting >= 7
+
+    @property
+    def effective_allowance(self) -> float:
+        if self.variant == "offsets":
+            return 5.0 if self.setting >= 8 else 10.0
+        return self.allowance
+
+
+def shared_view_images(
+    x: jnp.ndarray,
+    sky: jnp.ndarray,
+    exist_mask: jnp.ndarray,
+    cfg: ConsistencyConfig,
+    sigma_mod,
+    *,
+    origins: Optional[jnp.ndarray] = None,
+    to_world: Optional[jnp.ndarray] = None,
+    from_world: Optional[jnp.ndarray] = None,
+):
+    """Build each view's shared-cloud image.
+
+    Args:
+      x: (B, 2, H, W) diffusing images (log depth, intensity); B = G * A.
+      sky: (B, 1, H, W) float/bool not-sky mask (1 = usable).
+      exist_mask: (B, H, W) or (B, 1, H, W) sensor-reliability mask.
+      cfg: static merge config.
+      sigma_mod: scalar (traced ok) = max(sigma, 1).
+      origins: (A, 3) effective view origins — offsets variant.
+      to_world/from_world: (B, 4, 4) pose matrices — poses variant.
+
+    Returns:
+      new_images: (B, 2, H, W) shared depth/intensity per view.
+      mask_images: (B, 1, H, W) float mask of valid shared pixels.
+      too_high: scalar bool divergence guard
+        (max |log depth| * 6 / sigma_mod > 50, models/__init__.py:265).
+    """
+    grid = cfg.grid
+    A = cfg.actual_batch_size
+    B = x.shape[0]
+    G = B // A
+    H, W = grid.rows, grid.cols
+    N = H * W
+    big = grid.big_rows
+
+    depth_log = x[:, 0]
+    intensity = x[:, 1]
+    exist_mask = exist_mask.reshape(B, H, W) if exist_mask.ndim == 4 else exist_mask
+
+    dist_m, is_neg = signed_log_decompress(depth_log, sigma_mod)
+    too_high = jnp.max(jnp.abs(depth_log)) * 6.0 / sigma_mod > cfg.too_high_threshold
+
+    # 1. unproject every view to 3D (B, H, W, 3) -> world frame
+    pts = unproject(dist_m, grid)  # view frame
+    if cfg.variant == "offsets":
+        assert origins is not None
+        origins = jnp.asarray(origins, pts.dtype)  # (A, 3)
+        org_b = jnp.tile(origins, (G, 1))  # (B, 3)
+        world = pts + org_b[:, None, None, :]
+    else:
+        assert to_world is not None and from_world is not None
+        rot = to_world[:, :3, :3].astype(pts.dtype)
+        tr = to_world[:, :3, 3].astype(pts.dtype)
+        flat = pts.reshape(B, N, 3)
+        world = (
+            jnp.einsum("bij,bnj->bni", rot, flat) + tr[:, None, :]
+        ).reshape(B, H, W, 3)
+
+    # 2. group views into scenes: shared cloud (G, A*N, 3) + intensities
+    cloud = world.reshape(G, A * N, 3)
+    cloud_int = intensity.reshape(G, A * N)
+
+    # 3. re-express the cloud in every target view's frame (G, A, A*N, 3)
+    if cfg.variant == "offsets":
+        rel = cloud[:, None, :, :] - origins[None, :, None, :]
+    else:
+        fw = from_world.reshape(G, A, 4, 4).astype(pts.dtype)
+        rel = jnp.einsum("gvij,gnj->gvni", fw[:, :, :3, :3], cloud) + fw[
+            :, :, :3, 3
+        ][:, :, None, :]
+
+    # 4. bin on the extended vertical grid
+    row, col, depth_m, _ = project_bins(rel, grid)  # (G, A, A*N)
+    new_depth = log_compress(depth_m, sigma_mod)
+
+    valid = (col > -1) & (col < W) & (row > -1) & (row < big)
+    if cfg.use_src_sky:
+        src_sky = sky.reshape(B, N).reshape(G, 1, A * N) > 0
+        valid = valid & src_sky
+    # sensor-failure positions: first A views' masks, shared by all scenes
+    # (models/__init__.py:362 ``existMask[:actualBatchSize].flatten()``)
+    src_exist = exist_mask[:A].reshape(1, 1, A * N) > 0
+    valid = valid & src_exist
+    if cfg.use_min_depth:
+        min_trust = log_compress(jnp.float32(cfg.min_depth_to_trust), sigma_mod)
+        valid = valid & (new_depth > min_trust)
+
+    # 5. one batched segment reduction over (view, row, col)
+    view_idx = jnp.arange(B, dtype=jnp.int32).reshape(G, A, 1)
+    keys = view_idx * (big * W) + row * W + col
+    num_segments = B * big * W + 1  # +1 trash bin
+    src_int = jnp.broadcast_to(cloud_int[:, None, :], (G, A, A * N))
+    stats = zbuffer_stats(
+        keys.reshape(-1),
+        new_depth.reshape(-1).astype(jnp.float32),
+        src_int.reshape(-1).astype(jnp.float32),
+        valid.reshape(-1),
+        num_segments,
+    )
+
+    def img(v):
+        return v[: B * big * W].reshape(B, big, W)
+
+    count = img(stats.count)
+    # reference adds 1e-9 to the duplicate count before dividing (:445)
+    avg_depth = img(stats.sum_value) / (count + 1e-9)
+    avg_int = img(stats.sum_payload) / (count + 1e-9)
+
+    if cfg.use_controlled_average:
+        min_depth = img(stats.min_value)
+        min_int = img(stats.min_payload)
+        # compare in metres (models/__init__.py:458-481)
+        avg_m = jnp.power(2.0, jnp.abs(avg_depth) * 6.0 / sigma_mod) - 1.0
+        min_m = jnp.power(2.0, jnp.abs(min_depth) * 6.0 / sigma_mod) - 1.0
+        allowance = cfg.effective_allowance
+        over = avg_m > min_m + allowance
+        avg_int = jnp.where(over, min_int, avg_int)
+        avg_m = jnp.where(over, min_m + allowance / 5.0, avg_m)
+        avg_depth = jnp.log2(avg_m + 1.0) / 6.0 * sigma_mod
+
+    pix_mask = (count > 0).astype(x.dtype)
+
+    # 6. crop extended grid to H rows, opposite-pixel fill for negatives
+    out_depth = crop_big_with_negatives(avg_depth, is_neg, grid, negate_value=True)
+    out_int = crop_big_with_negatives(avg_int, is_neg, grid, negate_value=False)
+    out_mask = crop_big_with_negatives(pix_mask, is_neg, grid, negate_value=False)
+
+    # dead sensor pixels never count; all views share view 0's mask (:498)
+    out_mask = out_mask * (exist_mask[0][None] > 0)
+
+    new_images = jnp.stack([out_depth, out_int], axis=1)
+    mask_images = out_mask[:, None]
+    return new_images, mask_images, too_high
+
+
+def consistency_correction(
+    x, new_images, mask_images, sky, known_mask, too_high
+):
+    """``-mask_shared * sky * ~known * (x - shared)``, zeroed when diverging
+    (models/__init__.py:516-519, KITTISampling.py:427-430)."""
+    gate = mask_images * sky.astype(x.dtype)
+    corr = -gate * (1.0 - known_mask.astype(x.dtype)) * (x - new_images)
+    return jnp.where(too_high, 0.0, corr)

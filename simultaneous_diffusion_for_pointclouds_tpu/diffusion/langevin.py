@@ -1,0 +1,259 @@
+"""Annealed Langevin dynamics samplers as single jitted ``lax.scan`` programs.
+
+The reference runs a Python loop over 232 noise levels x 5 steps, launching
+~1161 CUDA kernels per score forward plus, for the simultaneous variants, a
+serialized per-view consistency loop (models/__init__.py:20-602,
+KITTISampling.py:5-513).  Here each sampler is ONE compiled XLA program:
+``lax.scan`` over levels, ``lax.scan`` over inner steps, and the cross-view
+merge fused in (gated by ``lax.cond`` so early levels skip its cost).
+
+All samplers share the update rule (models/__init__.py:29-36):
+
+    eps = step_lr * (sigma_c / sigma_L)^2
+    x  <- x + eps * score(x, c) + grad_ref * (-mask * (x - ref)) +
+          sqrt(2 eps) * z
+
+with the reference's exact tail: optional Tweedie denoise
+``x += sigma_L^2 * score(x, L-1) + grad_ref * last_grad_likelihood``
+followed by a final data-consistency step.
+
+``noise_scale=0`` makes every sampler deterministic (used by parity tests
+against the reference with ``torch.randn_like`` stubbed to zeros).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .consistency import (
+    ConsistencyConfig,
+    consistency_correction,
+    shared_view_images,
+)
+
+ScoreFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class LangevinConfig:
+    n_steps_each: int = 5
+    step_lr: float = 6.2e-6
+    denoise: bool = True
+    noise_scale: float = 1.0
+
+
+def _level_noise(rng, c, s, shape, dtype, scale):
+    if scale == 0.0:
+        return jnp.zeros(shape, dtype)
+    key = jax.random.fold_in(jax.random.fold_in(rng, c), s)
+    return jax.random.normal(key, shape, dtype) * scale
+
+
+def anneal_langevin_dynamics(rng, x_mod, score_fn: ScoreFn, sigmas, cfg: LangevinConfig):
+    """Unconditional sampler (models/__init__.py:20-57). Returns final x."""
+    L = sigmas.shape[0]
+    sigma_last = sigmas[-1]
+    B = x_mod.shape[0]
+
+    def level(x, cs):
+        c, sigma = cs
+        labels = jnp.full((B,), c, jnp.int32)
+        step_size = cfg.step_lr * (sigma / sigma_last) ** 2
+
+        def step(s, x):
+            grad = score_fn(x, labels)
+            noise = _level_noise(rng, c, s, x.shape, x.dtype, cfg.noise_scale)
+            return x + step_size * grad + noise * jnp.sqrt(step_size * 2.0)
+
+        x = jax.lax.fori_loop(0, cfg.n_steps_each, step, x)
+        return x, None
+
+    x_mod, _ = jax.lax.scan(level, x_mod, (jnp.arange(L), sigmas))
+
+    if cfg.denoise:
+        labels = jnp.full((B,), L - 1, jnp.int32)
+        x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels)
+    return x_mod
+
+
+def _guided_sample(
+    rng,
+    x_mod,
+    score_fn: ScoreFn,
+    sigmas,
+    cfg: LangevinConfig,
+    refer_image,
+    mask,
+    grad_ref: float,
+    per_step_extra=None,
+):
+    """Shared body for inpainting/densification/simultaneous: Langevin with
+    ``-mask*(x-ref)`` guidance; ``per_step_extra(x, c, s, sigma)`` may return
+    an additional additive correction (the cross-view consistency)."""
+    L = sigmas.shape[0]
+    sigma_last = sigmas[-1]
+    B = x_mod.shape[0]
+    mask = mask.astype(x_mod.dtype)
+
+    def level(carry, cs):
+        x, _ = carry
+        c, sigma = cs
+        labels = jnp.full((B,), c, jnp.int32)
+        step_size = cfg.step_lr * (sigma / sigma_last) ** 2
+
+        def step(s, inner):
+            x, _ = inner
+            grad = jnp.nan_to_num(score_fn(x, labels))
+            gl = -mask * (x - refer_image)
+            noise = _level_noise(rng, c, s, x.shape, x.dtype, cfg.noise_scale)
+            x = x + step_size * grad + grad_ref * gl + noise * jnp.sqrt(step_size * 2.0)
+            if per_step_extra is not None:
+                x = per_step_extra(x, c, s, sigma)
+            return (x, gl)
+
+        x, gl = jax.lax.fori_loop(0, cfg.n_steps_each, step, (x, jnp.zeros_like(x)))
+        return (x, gl), None
+
+    (x_mod, gl), _ = jax.lax.scan(
+        level, (x_mod, jnp.zeros_like(x_mod)), (jnp.arange(L), sigmas)
+    )
+
+    if cfg.denoise:
+        labels = jnp.full((B,), L - 1, jnp.int32)
+        # reference reuses the LAST grad_likelihood here (models/__init__.py:594)
+        x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels) + grad_ref * gl
+
+    # final hard data-consistency step (models/__init__.py:598-599)
+    x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
+    return x_mod
+
+
+def anneal_langevin_inpainting(
+    rng, x_mod, refer_image, refer_mask, score_fn, sigmas, cfg: LangevinConfig,
+    grad_ref: float = 0.1,
+):
+    """Masked-fill sampler (models/__init__.py:1385-1442)."""
+    return _guided_sample(rng, x_mod, score_fn, sigmas, cfg, refer_image, refer_mask, grad_ref)
+
+
+def anneal_langevin_densification(
+    rng, x_mod, refer_image, score_fn, sigmas, cfg: LangevinConfig,
+    grad_ref: float = 0.1, sampling_step: int = 16,
+):
+    """Sparse-to-dense upsampling: guidance on every ``sampling_step``-th row
+    (models/__init__.py:59-109)."""
+    mask = jnp.zeros_like(x_mod)
+    mask = mask.at[:, :, 0 : x_mod.shape[2] : sampling_step, :].set(1.0)
+    return _guided_sample(rng, x_mod, score_fn, sigmas, cfg, refer_image, mask, grad_ref)
+
+
+def _correlation_schedule(variant: str, setting: int, base: float, c, L: int):
+    """Level-dependent correlation coefficient.
+
+    offsets: setting 5 -> (c+1)/L, setting 6 -> 0.5 (c+1)/L
+    (models/__init__.py:210-213); poses: setting 6 -> (c+1)/L, setting 7 ->
+    0.5 (c+1)/L (KITTISampling.py:107-110); otherwise the constant base.
+    """
+    ramp = (c.astype(jnp.float32) + 1.0) / L
+    if variant == "offsets":
+        if setting == 5:
+            return ramp
+        if setting == 6:
+            return 0.5 * ramp
+    else:
+        if setting == 6:
+            return ramp
+        if setting == 7:
+            return 0.5 * ramp
+    return jnp.float32(base)
+
+
+def simultaneous_inpainting_sample(
+    rng,
+    x_mod,
+    score_fn: ScoreFn,
+    sigmas,
+    cfg: LangevinConfig,
+    ccfg: ConsistencyConfig,
+    *,
+    refer_image,
+    refer_mask,
+    sky,
+    exist_mask,
+    min_step_to_share: int = 2,
+    grad_ref: float = 0.1,
+    correlation_coefficient: float = 0.1,
+    origins: Optional[jnp.ndarray] = None,
+    to_world: Optional[jnp.ndarray] = None,
+    from_world: Optional[jnp.ndarray] = None,
+    return_shared: bool = False,
+):
+    """THE flagship sampler: joint multi-view inpainting with per-step
+    cross-view consistency (models/__init__.py:111-602 "basic" /
+    KITTISampling.py:5-513 "kitti").
+
+    ``x_mod``: (B, 2, H, W) with B = scenes * ccfg.actual_batch_size.
+    The consistency correction is applied after every Langevin step once the
+    level index reaches ``min_step_to_share``; its strength follows the
+    setting-dependent schedule.
+    """
+    L = int(sigmas.shape[0])
+    sigma_last = sigmas[-1]
+    B = x_mod.shape[0]
+    mask = refer_mask.astype(x_mod.dtype)
+    skyf = sky.astype(x_mod.dtype)
+
+    def level(carry, cs):
+        x, _, shared = carry
+        c, sigma = cs
+        labels = jnp.full((B,), c, jnp.int32)
+        step_size = cfg.step_lr * (sigma / sigma_last) ** 2
+        sigma_mod = jnp.maximum(sigma, 1.0)
+        corr_coef = _correlation_schedule(
+            ccfg.variant, ccfg.setting, correlation_coefficient, c, L
+        )
+
+        def consistency(x, shared):
+            new_images, mask_images, too_high = shared_view_images(
+                x, skyf, exist_mask, ccfg, sigma_mod,
+                origins=origins, to_world=to_world, from_world=from_world,
+            )
+            corr = consistency_correction(
+                x, new_images, mask_images, skyf, mask, too_high
+            )
+            return x + corr_coef * corr, new_images
+
+        def step(s, inner):
+            x, _, shared = inner
+            grad = jnp.nan_to_num(score_fn(x, labels))
+            gl = -mask * (x - refer_image)
+            noise = _level_noise(rng, c, s, x.shape, x.dtype, cfg.noise_scale)
+            x = x + step_size * grad + grad_ref * gl + noise * jnp.sqrt(step_size * 2.0)
+            x, shared = jax.lax.cond(
+                c >= min_step_to_share,
+                consistency,
+                lambda x, shared: (x, shared),
+                x, shared,
+            )
+            return (x, gl, shared)
+
+        x, gl, shared = jax.lax.fori_loop(
+            0, cfg.n_steps_each, step, (x, jnp.zeros_like(x), shared)
+        )
+        return (x, gl, shared), None
+
+    init = (x_mod, jnp.zeros_like(x_mod), jnp.zeros_like(x_mod))
+    (x_mod, gl, shared), _ = jax.lax.scan(level, init, (jnp.arange(L), sigmas))
+
+    if cfg.denoise:
+        labels = jnp.full((B,), L - 1, jnp.int32)
+        x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels) + grad_ref * gl
+
+    x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
+    if return_shared:
+        return x_mod, shared
+    return x_mod
