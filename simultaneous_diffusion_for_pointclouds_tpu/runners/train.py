@@ -1,0 +1,313 @@
+"""Training runners.
+
+:class:`CurriculumTrainer` reproduces the simultaneous runners' training
+loop (ncsn_runner_kitti_simultaneous.py:83-348): per batch, untrusted pixels
+are initialised with max noise, then an inpainting-aware curriculum walks
+noise levels 0..maxTimeStepReachable-1 — each level adds that level's noise
+to *trusted* pixels, takes a masked-DSM gradient step, and refines the
+untrusted pixels with ``n_steps_each`` Langevin steps reusing the scores
+from the loss forward.  ``maxTimeStepReachable`` grows by one every 20
+curriculum steps.
+
+:class:`BaseTrainer` is the plain LiDARGen loop (ncsn_runner.py:42-221):
+random-sigma DSM on full images.
+
+Both are built on a single jitted ``train_step``; the device never sees
+Python control flow.  State is a plain dict pytree {params, opt_state,
+ema_params}, checkpointed with Orbax every ``snapshot_freq`` true steps.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import cfg_get
+from ..data.loader import BatchLoader, SceneBlockSampler
+from ..data.registry import get_dataset
+from ..data.transforms import data_transform
+from ..diffusion.dsm import (
+    anneal_dsm_score_estimation,
+    anneal_dsm_score_estimation_with_mask,
+)
+from ..diffusion.sigmas import get_sigmas
+from ..models import ema_init, ema_update, get_model, get_optimizer
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.logging_utils import MetricsLogger
+
+
+class CurriculumTrainer:
+    def __init__(self, args, config):
+        self.args = args
+        self.config = config
+        self.model = get_model(config)
+        self.sigmas = get_sigmas(config)
+        self.optimizer = get_optimizer(config)
+        self.ema_rate = cfg_get(config, "model.ema_rate", 0.999)
+        self.use_ema = cfg_get(config, "model.ema", True)
+        self.n_steps_each = cfg_get(config, "sampling.n_steps_each", 5)
+        self.step_lr = cfg_get(config, "sampling.step_lr", 6.2e-6)
+        self.anneal_power = cfg_get(config, "training.anneal_power", 2.0)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, example) -> Dict:
+        variables = self.model.init(
+            rng, example, jnp.zeros((example.shape[0],), jnp.int32)
+        )
+        params = variables["params"]
+        return {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "ema_params": ema_init(params),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, state, rng, x, original_x, mask, timestep):
+        """One curriculum level: add noise at ``timestep`` to trusted pixels,
+        masked-DSM gradient step, Langevin-refine untrusted pixels."""
+        sigmas = self.sigmas
+        b = x.shape[0]
+        labels = jnp.full((b,), timestep, jnp.int32)
+        used = sigmas[labels].reshape((b,) + (1,) * (x.ndim - 1))
+        noise_rng, langevin_rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_rng, x.shape, x.dtype) * used
+        x = x + noise * mask
+
+        def loss_fn(params):
+            def score_fn(inp, lbl):
+                return self.model.apply({"params": params}, inp, lbl)
+
+            loss, scores = anneal_dsm_score_estimation_with_mask(
+                score_fn, x, labels, sigmas, noise, mask, self.anneal_power
+            )
+            return loss, scores
+
+        (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        ema_params = (
+            ema_update(state["ema_params"], params, self.ema_rate)
+            if self.use_ema
+            else state["ema_params"]
+        )
+
+        # Langevin refinement of untrusted pixels, reusing the loss scores
+        # (reference :205-222 keeps `grad` fixed across the 5 steps).
+        step_size = self.step_lr * (sigmas[timestep] / sigmas[-1]) ** 2
+
+        def refine(s, x):
+            z = jax.random.normal(jax.random.fold_in(langevin_rng, s), x.shape, x.dtype)
+            pred = x + step_size * scores + z * jnp.sqrt(step_size * 2.0)
+            return original_x * mask + pred * (1.0 - mask)
+
+        x = jax.lax.fori_loop(0, self.n_steps_each, refine, x)
+
+        new_state = {"params": params, "opt_state": opt_state, "ema_params": ema_params}
+        return new_state, x, loss
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, params, rng, x, mask, timestep):
+        sigmas = self.sigmas
+        b = x.shape[0]
+        labels = jnp.full((b,), timestep, jnp.int32)
+        used = sigmas[labels].reshape((b,) + (1,) * (x.ndim - 1))
+        noise = jax.random.normal(rng, x.shape, x.dtype) * used
+        x_pert = x + noise * mask
+
+        def score_fn(inp, lbl):
+            return self.model.apply({"params": params}, inp, lbl)
+
+        loss, scores = anneal_dsm_score_estimation_with_mask(
+            score_fn, x_pert, labels, sigmas, noise, mask, self.anneal_power
+        )
+        return loss, scores
+
+    # ------------------------------------------------------------------
+    def train(self, max_steps: Optional[int] = None):
+        cfg = self.config
+        train_ds, test_ds = get_dataset(self.args, cfg)
+        views = cfg_get(cfg, "sampling.actualBatchSize", 8)
+        batch = cfg_get(cfg, "training.batch_size", 8)
+        scenes = len(train_ds) // views
+        loader = BatchLoader(
+            train_ds,
+            batch_size=batch,
+            sampler=SceneBlockSampler(scenes, views, shuffle=True),
+            num_workers=cfg_get(cfg, "data.num_workers", 4),
+        )
+        test_loader = BatchLoader(
+            test_ds,
+            batch_size=batch,
+            sampler=SceneBlockSampler(len(test_ds) // views, views, shuffle=True, seed=7),
+            num_workers=2,
+        )
+
+        rng = jax.random.PRNGKey(getattr(self.args, "seed", 1234))
+        h = cfg_get(cfg, "data.image_size")
+        w = cfg_get(cfg, "data.image_width")
+        c = cfg_get(cfg, "data.channels", 2)
+        state = self.init_state(rng, jnp.zeros((batch, c, h, w), jnp.float32))
+
+        log_path = getattr(self.args, "log_path", None)
+        metrics = MetricsLogger(log_path)
+        n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
+        snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 2000)
+        max_reachable = 1
+        step = true_step = 0
+        test_iter = iter(test_loader)
+        t0 = time.time()
+
+        for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
+            for batch_np in loader:
+                step += 1
+                x = jnp.asarray(batch_np["real"])
+                mask = jnp.asarray(batch_np["known"])
+                x = data_transform(cfg, x)
+                original_x = x
+                rng, init_rng = jax.random.split(rng)
+                # max-noise init of untrusted pixels (:186-190)
+                used0 = self.sigmas[0]
+                x = x + jax.random.normal(init_rng, x.shape, x.dtype) * used0 * (
+                    1.0 - mask
+                )
+
+                for timestep in range(max_reachable):
+                    true_step += 1
+                    rng, step_rng = jax.random.split(rng)
+                    state, x, loss = self.train_step(
+                        state, step_rng, x, original_x, mask, timestep
+                    )
+                    if true_step % 10 == 0:
+                        metrics.scalar("loss", loss, true_step)
+                        logging.info(
+                            "step: %d, timestep: %d, loss: %.5f (%.2f s)",
+                            step, timestep, float(loss), time.time() - t0,
+                        )
+                    if step >= n_iters:
+                        save_checkpoint(log_path, state, step) if log_path else None
+                        metrics.close()
+                        return state
+                    if step % 100 == 0 and timestep == 0:
+                        try:
+                            tb = next(test_iter)
+                        except StopIteration:
+                            test_iter = iter(test_loader)
+                            tb = next(test_iter)
+                        rng, eval_rng = jax.random.split(rng)
+                        params = (
+                            state["ema_params"] if self.use_ema else state["params"]
+                        )
+                        tl, _ = self.eval_step(
+                            params, eval_rng,
+                            data_transform(cfg, jnp.asarray(tb["real"])),
+                            jnp.asarray(tb["known"]), 0,
+                        )
+                        metrics.scalar("test_loss", tl, true_step)
+                        logging.info("step: %d, test_loss: %.5f", step, float(tl))
+                    if true_step % 20 == 0 and max_reachable < len(self.sigmas):
+                        max_reachable += 1
+                    if log_path and true_step % snapshot_freq == 0:
+                        save_checkpoint(log_path, state, step)
+        metrics.close()
+        return state
+
+    # ------------------------------------------------------------------
+    def test(self, steps: int = 50):
+        """Checkpoint loss sweep (reference ``--test``, ncsn_runner.py:571)."""
+        cfg = self.config
+        _, test_ds = get_dataset(self.args, cfg)
+        views = cfg_get(cfg, "sampling.actualBatchSize", 8)
+        loader = BatchLoader(
+            test_ds,
+            batch_size=cfg_get(cfg, "test.batch_size", 8),
+            sampler=SceneBlockSampler(len(test_ds) // views, views, shuffle=False),
+            num_workers=2,
+        )
+        state = restore_checkpoint(self.args.log_path)
+        params = state["ema_params"] if self.use_ema else state["params"]
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for i, b in enumerate(loader):
+            if i >= steps:
+                break
+            rng, r = jax.random.split(rng)
+            loss, _ = self.eval_step(
+                params, r, jnp.asarray(b["real"]), jnp.asarray(b["known"]), 0
+            )
+            losses.append(float(loss))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        logging.info("test mean loss: %.5f over %d batches", mean, len(losses))
+        return mean
+
+
+class BaseTrainer(CurriculumTrainer):
+    """Plain LiDARGen training: random-sigma DSM on full images
+    (ncsn_runner.py:42-221)."""
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def base_step(self, state, rng, x):
+        def loss_fn(params):
+            def score_fn(inp, lbl):
+                return self.model.apply({"params": params}, inp, lbl)
+
+            return anneal_dsm_score_estimation(
+                score_fn, rng, x, self.sigmas, anneal_power=self.anneal_power
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = self.optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        ema_params = (
+            ema_update(state["ema_params"], params, self.ema_rate)
+            if self.use_ema
+            else state["ema_params"]
+        )
+        return {"params": params, "opt_state": opt_state, "ema_params": ema_params}, loss
+
+    def train(self, max_steps: Optional[int] = None):
+        cfg = self.config
+        train_ds, _ = get_dataset(self.args, cfg)
+        loader = BatchLoader(
+            train_ds,
+            batch_size=cfg_get(cfg, "training.batch_size", 8),
+            shuffle=True,
+            num_workers=cfg_get(cfg, "data.num_workers", 4),
+        )
+        rng = jax.random.PRNGKey(getattr(self.args, "seed", 1234))
+        h, w = cfg_get(cfg, "data.image_size"), cfg_get(cfg, "data.image_width")
+        c = cfg_get(cfg, "data.channels", 2)
+        b = cfg_get(cfg, "training.batch_size", 8)
+        state = self.init_state(rng, jnp.zeros((b, c, h, w), jnp.float32))
+        log_path = getattr(self.args, "log_path", None)
+        metrics = MetricsLogger(log_path)
+        n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
+        step = 0
+        for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
+            for batch_np in loader:
+                step += 1
+                rng, r = jax.random.split(rng)
+                x = data_transform(cfg, jnp.asarray(batch_np["real"]))
+                state, loss = self.base_step(state, r, x)
+                if step % 10 == 0:
+                    metrics.scalar("loss", loss, step)
+                    logging.info("step: %d, loss: %.5f", step, float(loss))
+                if step >= n_iters:
+                    if log_path:
+                        save_checkpoint(log_path, state, step)
+                    metrics.close()
+                    return state
+        metrics.close()
+        return state

@@ -1,0 +1,53 @@
+"""Checkpointing: Orbax for native state, plus reference-.pth interop.
+
+The reference saves ``[model_sd, opt_sd, epoch, step, (ema_sd)]`` to
+``checkpoint_{step}.pth`` and a rolling ``checkpoint.pth``
+(ncsn_runner.py:168-179).  We keep the same file layout discipline with
+Orbax directories: ``ckpt_{step}/`` plus a rolling ``ckpt/`` symlink-like
+copy, holding {params, opt_state, ema_params, epoch, step}.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(log_path: str, state: Dict[str, Any], step: int) -> None:
+    """Write ``ckpt_{step}`` and refresh the rolling ``ckpt``."""
+    state = jax.tree.map(lambda x: x, state)
+    ckptr = _ckptr()
+    path = os.path.join(os.path.abspath(log_path), f"ckpt_{step}")
+    ckptr.save(path, state, force=True)
+    rolling = os.path.join(os.path.abspath(log_path), "ckpt")
+    ckptr.save(rolling, state, force=True)
+
+
+def restore_checkpoint(log_path: str, step: Optional[int] = None):
+    path = os.path.join(
+        os.path.abspath(log_path), f"ckpt_{step}" if step is not None else "ckpt"
+    )
+    return _ckptr().restore(path)
+
+
+def load_score_params(ckpt_path: str, model, example_input, example_labels):
+    """Load score-network params from either an Orbax dir or a reference
+    torch ``.pth`` checkpoint (converted on the fly; EMA weights preferred,
+    as the reference applies EMA before sampling,
+    ncsn_runner_kitti_simultaneous.py:485-489)."""
+    if os.path.isdir(ckpt_path):
+        state = _ckptr().restore(os.path.abspath(ckpt_path))
+        return state.get("ema_params", state["params"])
+    from .torch_convert import load_reference_checkpoint, torch_state_dict_to_flax
+
+    ref = load_reference_checkpoint(ckpt_path)
+    variables = model.init(jax.random.PRNGKey(0), example_input, example_labels)
+    source = ref.get("ema", ref["model"])
+    return torch_state_dict_to_flax(source, variables["params"])
