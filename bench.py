@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark: Langevin steps/sec/chip at 8-view 2x64x1024 (flagship shape).
+
+Measures the fused simultaneous sampler (one jitted lax.scan program:
+score forward + cross-view consistency every step) against a
+"reference-execution-style" baseline run on the SAME chip: per-level /
+per-step host loop with separate dispatches and a serialized per-view
+consistency merge — the launch structure of the reference CUDA
+implementation (models/KITTISampling.py: python loop over 42 views of
+sort/unique/scatter per Langevin step).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
+value = fused Langevin steps/sec/chip and vs_baseline = fused/serialized
+speedup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+VIEWS = 8
+H, W = 64, 1024
+LEVELS = 20  # timing subset of the 232-level ladder
+N_STEPS = 5
+NGF = 128
+
+
+def _config():
+    ns = argparse.Namespace
+    return ns(
+        data=ns(dataset="KITTI360_im_8batch", channels=2, image_size=H,
+                image_width=W, logit_transform=False, rescaled=False),
+        model=ns(sigma_begin=50.0, sigma_end=0.01, num_classes=232,
+                 sigma_dist="geometric", normalization="InstanceNorm++",
+                 nonlinearity="elu", ngf=NGF),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from simultaneous_diffusion_for_pointclouds_tpu.diffusion.consistency import (
+        ConsistencyConfig,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.diffusion.langevin import (
+        LangevinConfig,
+        simultaneous_inpainting_sample,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.diffusion.sigmas import get_sigmas
+    from simultaneous_diffusion_for_pointclouds_tpu.models import get_model
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import (
+        kitti_sampler_grid,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import zbuffer_stats
+    from simultaneous_diffusion_for_pointclouds_tpu.diffusion import consistency as cz
+
+    config = _config()
+    model = get_model(config)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(rng, (VIEWS, 2, H, W), jnp.float32)
+    labels0 = jnp.zeros((VIEWS,), jnp.int32)
+    params = model.init(rng, x0, labels0)["params"]
+
+    full_sigmas = np.asarray(get_sigmas(config))
+    sigmas = jnp.asarray(full_sigmas[:: len(full_sigmas) // LEVELS][:LEVELS])
+    grid = kitti_sampler_grid(H, W)
+
+    refer = x0
+    mask = (jax.random.uniform(jax.random.PRNGKey(1), (VIEWS, 2, H, W)) > 0.5).astype(jnp.float32)
+    sky = jnp.ones((VIEWS, 1, H, W), jnp.float32)
+    exist = jnp.ones((VIEWS, H, W), jnp.float32)
+    eye = jnp.tile(jnp.eye(4)[None], (VIEWS, 1, 1)).astype(jnp.float32)
+
+    def score_fn(inp, lbl):
+        return model.apply({"params": params}, inp, lbl)
+
+    ccfg = ConsistencyConfig(grid=grid, actual_batch_size=VIEWS, setting=5, variant="poses")
+    lcfg = LangevinConfig(n_steps_each=N_STEPS, step_lr=6.2e-6, denoise=False)
+
+    # ---------------- fused (ours) ------------------------------------
+    @jax.jit
+    def fused(rng, x):
+        return simultaneous_inpainting_sample(
+            rng, x, score_fn, sigmas, lcfg, ccfg,
+            refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
+            min_step_to_share=0, grad_ref=1.0, correlation_coefficient=0.01,
+            to_world=eye, from_world=eye,
+        )
+
+    def time_fused():
+        out = jax.block_until_ready(fused(rng, x0))  # compile + warm
+        times = []
+        for i in range(3):
+            t = time.perf_counter()
+            jax.block_until_ready(fused(jax.random.PRNGKey(i), x0))
+            times.append(time.perf_counter() - t)
+        return min(times)
+
+    # ------------- serialized reference-execution-style ----------------
+    score_jit = jax.jit(score_fn)
+
+    @jax.jit
+    def update(x, grad, noise, step_size):
+        gl = -mask * (x - refer)
+        return x + step_size * grad + 1.0 * gl + noise * jnp.sqrt(step_size * 2.0)
+
+    big = grid.big_rows
+
+    @jax.jit
+    def unproject_all(x, sigma_mod):
+        from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import (
+            signed_log_decompress, unproject,
+        )
+        dist, is_neg = signed_log_decompress(x[:, 0], sigma_mod)
+        pts = unproject(dist, grid).reshape(VIEWS * H * W, 3)
+        return pts, x[:, 1].reshape(-1), is_neg
+
+    @jax.jit
+    def merge_one_view(pts, intens, sigma_mod):
+        """One target view's z-buffer merge: the per-origin loop body of the
+        reference (KITTISampling.py:283-414), one dispatch per view."""
+        from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import (
+            log_compress, project_bins,
+        )
+        row, col, depth_m, _ = project_bins(pts, grid)
+        nd = log_compress(depth_m, sigma_mod)
+        valid = (col > -1) & (col < W) & (row > -1) & (row < big)
+        keys = row * W + col
+        stats = zbuffer_stats(keys, nd, intens, valid, big * W + 1)
+        d = (stats.sum_value / (stats.count + 1e-9))[: big * W].reshape(big, W)
+        i = (stats.sum_payload / (stats.count + 1e-9))[: big * W].reshape(big, W)
+        m = (stats.count > 0)[: big * W].reshape(big, W).astype(jnp.float32)
+        return d, i, m
+
+    @jax.jit
+    def apply_corr(x, news, masks_img, is_neg):
+        d = cz.crop_big_with_negatives(news[:, 0], is_neg, grid, True)
+        i = cz.crop_big_with_negatives(news[:, 1], is_neg, grid, False)
+        m = cz.crop_big_with_negatives(masks_img, is_neg, grid, False)
+        new_images = jnp.stack([d, i], 1)
+        corr = -m[:, None] * (1.0 - mask) * (x - new_images)
+        return x + 0.01 * corr
+
+    def serialized_once(seed):
+        x = x0
+        key = jax.random.PRNGKey(seed)
+        sig = np.asarray(sigmas)
+        for c in range(LEVELS):
+            labels = jnp.full((VIEWS,), c, jnp.int32)
+            step_size = jnp.float32(6.2e-6 * (sig[c] / sig[-1]) ** 2)
+            sigma_mod = jnp.float32(max(sig[c], 1.0))
+            for s in range(N_STEPS):
+                grad = score_jit(x, labels)
+                key, k2 = jax.random.split(key)
+                noise = jax.random.normal(k2, x.shape, x.dtype)
+                x = update(x, grad, noise, step_size)
+                pts, intens, is_neg = unproject_all(x, sigma_mod)
+                ds, is_, ms = [], [], []
+                for v in range(VIEWS):  # serialized per-view merge
+                    d, i, m = merge_one_view(pts, intens, sigma_mod)
+                    ds.append(d); is_.append(i); ms.append(m)
+                news = jnp.stack([jnp.stack(ds), jnp.stack(is_)], 1)
+                x = apply_corr(x, news, jnp.stack(ms), is_neg)
+        return jax.block_until_ready(x)
+
+    def time_serialized():
+        serialized_once(0)  # warm
+        t = time.perf_counter()
+        serialized_once(1)
+        return time.perf_counter() - t
+
+    fused_t = time_fused()
+    serial_t = time_serialized()
+    total_steps = LEVELS * N_STEPS
+    value = total_steps / fused_t
+    baseline = total_steps / serial_t
+    print(json.dumps({
+        "metric": "langevin_steps_per_sec_per_chip_8view_2x64x1024",
+        "value": round(value, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

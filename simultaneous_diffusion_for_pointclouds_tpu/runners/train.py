@@ -70,6 +70,9 @@ class CurriculumTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def train_step(self, state, rng, x, original_x, mask, timestep):
+        return self.train_step_impl(state, rng, x, original_x, mask, timestep)
+
+    def train_step_impl(self, state, rng, x, original_x, mask, timestep):
         """One curriculum level: add noise at ``timestep`` to trusted pixels,
         masked-DSM gradient step, Langevin-refine untrusted pixels."""
         sigmas = self.sigmas
