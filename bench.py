@@ -124,7 +124,9 @@ def main():
     @jax.jit
     def merge_one_view(pts, intens, sigma_mod):
         """One target view's z-buffer merge: the per-origin loop body of the
-        reference (KITTISampling.py:283-414), one dispatch per view."""
+        reference (KITTISampling.py:283-414) — full work: average AND min
+        AND winner intensity AND controlled average, one dispatch per view.
+        """
         from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import (
             log_compress, project_bins,
         )
@@ -135,6 +137,15 @@ def main():
         stats = zbuffer_stats(keys, nd, intens, valid, big * W + 1)
         d = (stats.sum_value / (stats.count + 1e-9))[: big * W].reshape(big, W)
         i = (stats.sum_payload / (stats.count + 1e-9))[: big * W].reshape(big, W)
+        dmin = stats.min_value[: big * W].reshape(big, W)
+        imin = stats.min_payload[: big * W].reshape(big, W)
+        # controlled average (KITTISampling.py:363-391)
+        d_m = jnp.power(2.0, jnp.abs(d) * 6.0 / sigma_mod) - 1.0
+        dmin_m = jnp.power(2.0, jnp.abs(dmin) * 6.0 / sigma_mod) - 1.0
+        over = d_m > dmin_m + 10.0
+        i = jnp.where(over, imin, i)
+        d_m = jnp.where(over, dmin_m + 2.0, d_m)
+        d = jnp.log2(d_m + 1.0) / 6.0 * sigma_mod
         m = (stats.count > 0)[: big * W].reshape(big, W).astype(jnp.float32)
         return d, i, m
 
