@@ -97,6 +97,9 @@ def main():
         if args.sample:
             runner = SimultaneousSamplingRunner(args, config, variant=variant)
             runner.sample(max_batches=args.max_batches, ckpt_path=args.ckpt)
+        elif args.fast_fid:
+            runner = SimultaneousSamplingRunner(args, config, variant=variant)
+            runner.fast_fid(ckpt_path=args.ckpt)
         elif args.test:
             CurriculumTrainer(args, config).test()
         elif args.nvs:

@@ -1,0 +1,254 @@
+"""Second-method simultaneous sampler: 3D-noise with persistent point ids.
+
+Re-design of ``models/__init__.py:604-1382``
+(``anneal_Langevin_dynamics_inpainting_simultaneous_second_method``): instead
+of correcting 2D images toward a shared cloud, the *state itself* lives as a
+point cloud.  Every step:
+
+1. per-pixel Langevin update is decoded to a 3D displacement,
+2. pixels carrying the same persistent point id (tracked in ``x_indices``;
+   fresh ids are minted for id==-1 pixels) have their positions and
+   displacements scatter-averaged per id,
+3. the averaged cloud (optionally pulled 10% toward the ground-truth median
+   for setting 7, first 200 levels) is re-projected into every view with a
+   min-depth z-buffer, regenerating both ``x_mod`` and ``x_indices``;
+   empty pixels keep their previous image values,
+4. setting>=4 hard-resets known pixels to GT+noise and their ids to the
+   reference indices each step.
+
+Static-shape notes (vs the reference's dynamic ``torch.unique`` tables):
+ids live in a fixed-capacity table (``id_capacity``); renumbering-compaction
+uses a dense cumsum over the table; fresh-id minting reproduces the
+reference's ``arange + max`` (including its first-new-id == max collision).
+The vertical scope here is the mining grid (+15..-45 deg, reference :644-646),
+not KITTI's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import RangeGrid, crop_big_with_negatives, unproject
+from ..ops.scatter import zbuffer_stats
+from .langevin import LangevinConfig, _level_noise
+
+
+def mine_sampler_grid(rows: int, cols: int) -> RangeGrid:
+    """Sampler grid with the mining vertical scope +15..-45 deg
+    (models/__init__.py:644-675)."""
+    h_scope, v_min_deg, v_max_deg = 360.0, -45.0, 15.0
+    v_scope = v_max_deg - v_min_deg
+    h_res = math.radians(h_scope) / cols
+    v_res = math.radians(v_scope) / rows
+    h_min = ((cols * -180.0) // h_scope) * h_res + h_res / 2
+    v_min = ((rows * v_min_deg) // v_scope) * v_res + v_res / 2
+    big_rows = int(max(abs(v_min_deg), abs(v_max_deg)) * 2 * rows // v_scope)
+    big_v_min = (big_rows // -2) * v_res + v_res / 2
+    return RangeGrid(rows, cols, h_res, v_res, h_min, v_min, big_rows, big_v_min)
+
+
+@dataclasses.dataclass(frozen=True)
+class SecondMethodConfig:
+    grid: RangeGrid
+    setting: int = 4
+    id_capacity: int = 0  # 0 -> auto: 3 * B*H*W
+    median_pull_levels: int = 200
+
+
+def _signed_decode(x, sigma_mod):
+    is_neg = (x < 0).astype(x.dtype)
+    sign = 1.0 - 2.0 * is_neg
+    return (jnp.power(2.0, jnp.abs(x) * 6.0 / sigma_mod) - 1.0) * sign, is_neg
+
+
+def simultaneous_second_method_sample(
+    rng,
+    x_mod,
+    score_fn,
+    sigmas,
+    cfg: LangevinConfig,
+    scfg: SecondMethodConfig,
+    *,
+    refer_image,
+    refer_mask,
+    refer_indices,
+    origins,
+    grad_ref: float = 0.1,
+):
+    """Returns the final (B, 2, H, W) images.
+
+    ``refer_indices``: (B, 1, H, W) or (B, H, W) float/int per-pixel point
+    ids from the dataset projection (-1 where empty).
+    ``origins``: (B, 3) effective per-view origins (already through
+    :func:`consistency.effective_origins`).
+    """
+    grid = scfg.grid
+    B, _, H, W = x_mod.shape
+    N = H * W
+    BN = B * N
+    C = scfg.id_capacity or 3 * BN
+    big = grid.big_rows
+    L = int(sigmas.shape[0])
+    sigma_last = sigmas[-1]
+    mask = refer_mask.astype(x_mod.dtype)
+    refer_idx = refer_indices.reshape(B, H, W).astype(jnp.int32)
+    origins = jnp.asarray(origins, x_mod.dtype)
+
+    # initial data-consistency nudge (:630-631)
+    x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
+    x_indices = refer_idx
+
+    # setting 7: ground-truth median in world coordinates (:710-716)
+    if scfg.setting == 7:
+        dist0 = jnp.power(2.0, jnp.abs(x_mod[:, 0]) * 6.0) - 1.0
+        pts0 = unproject(dist0, grid, origins)
+        known = (mask[:, 0] != 0).reshape(B, H, W)
+        sel = jnp.where(known[..., None], pts0, jnp.nan)
+        gt_med = jnp.stack([
+            jnp.nanmedian(sel[..., 0]), jnp.nanmedian(sel[..., 1]),
+            jnp.nanmedian(sel[..., 2]),
+        ])
+    else:
+        gt_med = jnp.zeros(3, x_mod.dtype)
+
+    view_idx = jnp.arange(B, dtype=jnp.int32).reshape(B, 1)
+
+    def level(carry, cs):
+        x, ids, _ = carry
+        c, sigma = cs
+        labels = jnp.full((B,), c, jnp.int32)
+        step_size = cfg.step_lr * (sigma / sigma_last) ** 2
+        sigma_mod = jnp.maximum(sigma, 1.0)
+
+        def step(s, inner):
+            x, ids, _ = inner
+            grad = jnp.nan_to_num(score_fn(x, labels))
+            gl = -mask * (x - refer_image)
+            noise = _level_noise(rng, c, s, x.shape, x.dtype, cfg.noise_scale)
+            if scfg.setting < 4:
+                total_grad = step_size * grad + grad_ref * gl + noise * jnp.sqrt(step_size * 2.0)
+            else:
+                total_grad = step_size * grad + noise * jnp.sqrt(step_size * 2.0)
+
+            dist, is_neg = _signed_decode(x[:, 0], sigma_mod)
+            # noise decoded with the IMAGE's sign and no sigmaMod (:783)
+            sign = 1.0 - 2.0 * is_neg
+            real_noise = (jnp.power(2.0, jnp.abs(total_grad[:, 0]) * 6.0) - 1.0) * sign
+
+            pts = unproject(dist, grid, origins).reshape(BN, 3)
+            nois = unproject(real_noise, grid).reshape(BN, 3)
+            intens = x[:, 1].reshape(BN)
+            noise_i = total_grad[:, 1].reshape(BN)
+
+            # 2D fallback update for holes (:829)
+            x2d = x + step_size * grad + grad_ref * gl + noise * jnp.sqrt(step_size * 2.0)
+
+            # mint fresh ids for -1 pixels: arange + max (collision kept, :832)
+            flat_ids = ids.reshape(BN)
+            is_new = flat_ids == -1
+            max_id = jnp.max(flat_ids)
+            fresh = max_id + jnp.cumsum(is_new.astype(jnp.int32)) - 1
+            flat_ids = jnp.where(is_new, fresh, flat_ids)
+            flat_ids = jnp.clip(flat_ids, 0, C - 2)  # capacity guard
+
+            # scatter-average positions, intensity, displacement per id
+            ones = jnp.ones(BN, jnp.float32)
+            count = jax.ops.segment_sum(ones, flat_ids, C) + 1e-12
+            def avg(v):
+                return jax.ops.segment_sum(v, flat_ids, C) / count
+            cx = avg(pts[:, 0]) + avg(nois[:, 0])
+            cy = avg(pts[:, 1]) + avg(nois[:, 1])
+            cz = avg(pts[:, 2]) + avg(nois[:, 2])
+            ci = avg(intens) + avg(noise_i)
+            used = jax.ops.segment_sum(ones, flat_ids, C) > 0
+
+            if scfg.setting == 7:
+                pull = (c < scfg.median_pull_levels).astype(x.dtype)
+                cx = jnp.where(pull > 0, 0.9 * cx + 0.1 * gt_med[0], cx)
+                cy = jnp.where(pull > 0, 0.9 * cy + 0.1 * gt_med[1], cy)
+                cz = jnp.where(pull > 0, 0.9 * cz + 0.1 * gt_med[2], cz)
+
+            cloud = jnp.stack([cx, cy, cz], axis=-1)  # (C, 3)
+
+            # re-project all ids into every view (B, C)
+            rel = cloud[None] - origins[:, None, :]
+            px, py, pz = rel[..., 0], rel[..., 1], rel[..., 2]
+            xy2 = px**2 + py**2
+            depth_m = jnp.sqrt(xy2 + pz**2)
+            col = jnp.round((jnp.arctan2(py, px) - grid.h_min) / grid.h_res).astype(jnp.int32)
+            row = jnp.round(
+                (jnp.arctan2(pz, jnp.sqrt(xy2)) - grid.big_v_min) / grid.v_res
+            ).astype(jnp.int32)
+            col = -col + W - 1
+            row = -row + big - 1
+            new_depth = jnp.log2(depth_m + 1.0) / 6.0 * sigma_mod
+
+            in_grid = (col > -1) & (col < W) & (row > -1) & (row < big)
+            valid = in_grid & used[None]
+
+            # compact renumbering of surviving ids (:936-943): ids visible in
+            # ANY view keep a slot; renumber 1..n (0 = the discarded bucket),
+            # images later subtract 1 so empty -> -1.
+            visible = jnp.any(valid, axis=0)
+            new_num = jnp.cumsum(visible.astype(jnp.int32))  # 1-indexed
+            point_new_id = jnp.where(visible, new_num, 0)
+
+            keys = view_idx * (big * W) + row * W + col
+            segs = B * big * W + 1
+            stats_i = zbuffer_stats(
+                keys.reshape(-1), jnp.broadcast_to(new_depth, (B, C)).reshape(-1),
+                jnp.broadcast_to(ci[None], (B, C)).reshape(-1),
+                valid.reshape(-1), segs,
+            )
+            stats_id = zbuffer_stats(
+                keys.reshape(-1), jnp.broadcast_to(new_depth, (B, C)).reshape(-1),
+                jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)).reshape(-1),
+                valid.reshape(-1), segs,
+            )
+
+            def img(v):
+                return v[: B * big * W].reshape(B, big, W)
+
+            depth_img = img(stats_i.min_value)
+            int_img = img(stats_i.min_payload)
+            id_img = img(stats_id.min_payload)
+
+            # crop + opposite-pixel fill; depth NOT negated here (:1045)
+            d = crop_big_with_negatives(depth_img, is_neg, grid, negate_value=False)
+            i = crop_big_with_negatives(int_img, is_neg, grid, negate_value=False)
+            pid = crop_big_with_negatives(id_img, is_neg, grid, negate_value=False)
+            pid = pid.astype(jnp.int32) - 1
+
+            # empty pixels keep updated 2D values (:1061-1062)
+            empty = d == 0
+            new_x = jnp.stack(
+                [jnp.where(empty, x2d[:, 0], d), jnp.where(empty, x2d[:, 1], i)], axis=1
+            )
+            new_ids = jnp.where(empty, -1, pid)
+
+            if scfg.setting >= 4:
+                gt_noise = refer_image + noise * jnp.sqrt(step_size * 2.0)
+                new_x = jnp.where(mask != 0, gt_noise, new_x)
+                new_ids = new_ids + jnp.max(refer_idx)
+                new_ids = jnp.where(mask[:, 0] != 0, refer_idx, new_ids)
+
+            return (new_x, new_ids, gl)
+
+        x, ids, gl = jax.lax.fori_loop(
+            0, cfg.n_steps_each, step, (x, ids, jnp.zeros_like(x))
+        )
+        return (x, ids, gl), None
+
+    init = (x_mod, x_indices, jnp.zeros_like(x_mod))
+    (x_mod, _, gl), _ = jax.lax.scan(level, init, (jnp.arange(L), sigmas))
+
+    if cfg.denoise:
+        labels = jnp.full((B,), L - 1, jnp.int32)
+        x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels) + grad_ref * gl
+    x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
+    return x_mod

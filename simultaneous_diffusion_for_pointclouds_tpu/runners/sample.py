@@ -159,6 +159,30 @@ class SimultaneousSamplingRunner:
         shaped = arr.reshape((self.groups, self.views) + arr.shape[1:])
         return shaped[:, :keep].reshape((self.groups * keep,) + arr.shape[1:])
 
+    def _ablation_plan(self):
+        """The ``doThis`` progression per runner family.
+
+        - poses/Line (ncsn_runner_kitti_simultaneous.py:549,707-758):
+          doThis 0..A-1; <A-2 joint with doThis+2 views, ==A-2 joint with all
+          A views, ==A-1 plain inpainting on the FULL batch.
+        - offsets/AllForOne (ncsn_runner_AllForOne.py:548-560,715-750):
+          same joint progression but the baseline is plain inpainting on ONE
+          view per scene; with the densification dataset the loop narrows to
+          [full joint, 1-view baseline].
+        Returns a list of ("joint", keep_views) / ("baseline", keep_views).
+        """
+        A = self.views
+        dataset = cfg_get(self.config, "data.dataset", "")
+        if self.variant == "poses":
+            plan = [("joint", min(d + 2, A)) for d in range(A - 1)]
+            plan.append(("baseline", A))
+            return plan
+        if dataset == "KITTI360_im_simultaneous_densification":
+            return [("joint", A), ("baseline", 1)]
+        plan = [("joint", min(d + 2, A)) for d in range(A - 1)]
+        plan.append(("baseline", 1))
+        return plan
+
     def sample(self, max_batches: Optional[int] = None, ckpt_path=None, seed=1234):
         cfg = self.config
         args = self.args
@@ -182,27 +206,34 @@ class SimultaneousSamplingRunner:
         )
         ckpt_id = cfg_get(cfg, "sampling.ckpt_id", 0)
         rng = jax.random.PRNGKey(seed)
-        time_taken = np.zeros(self.views)
+        time_taken = np.zeros(len(self._ablation_plan()))
 
         for batch_idx, batch_np in enumerate(loader):
             if max_batches is not None and batch_idx >= max_batches:
                 break
-            ids = batch_np["scan_id"].reshape(self.groups, self.views)[:, 0]
-            save_num = "".join(str(int(i)) + "_" for i in ids)
+            if "scan_id" in batch_np:
+                ids = batch_np["scan_id"].reshape(self.groups, self.views)[:, 0]
+                save_num = "".join(str(int(i)) + "_" for i in ids)
+            else:  # SceneCompletion items carry scan names
+                names = np.asarray(batch_np["scan_name"]).reshape(
+                    self.groups, self.views
+                )[:, 0]
+                save_num = "".join(str(n) + "_" for n in names)
 
+            identity = np.tile(np.eye(4, dtype=np.float32), (self.batch, 1, 1))
             np.save(
                 os.path.join(args.image_folder, f"toWorld_{save_num}"),
-                batch_np["to_world"],
+                batch_np.get("to_world", identity),
             )
             np.save(
                 os.path.join(args.image_folder, f"fromWorld_{save_num}"),
-                batch_np["to_og_view"],
+                batch_np.get("to_og_view", identity),
             )
 
             refer_full = batch_np["real"].astype(np.float32)
             mask_full = batch_np["known"].astype(np.float32)
             sky_full = batch_np["sky"].astype(np.float32)
-            goal_full = batch_np["goal"].astype(np.float32)
+            goal_full = batch_np.get("goal", refer_full).astype(np.float32)
 
             # inputs / GT / sky saved once per batch (:659-696)
             inp = np.asarray(
@@ -240,12 +271,19 @@ class SimultaneousSamplingRunner:
                 sky_full,
             )
 
-            origins = jnp.asarray(
-                effective_origins(cfg_get(cfg, "data.modifications", [[0, 0, 0]])),
-                jnp.float32,
-            )
+            # per-scan origins for the Completion family, else config
+            # modifications; both pass through the reference's origin
+            # rescaling quirk inside the offsets sampler
+            # (ncsn_runner_Completion.py:527 vs ncsn_runner_AllForOne.py:648).
+            if "origins" in batch_np:
+                raw_origins = batch_np["origins"][0][: self.views]
+            else:
+                raw_origins = np.asarray(
+                    cfg_get(cfg, "data.modifications", [[0, 0, 0]])
+                )[: self.views]
+            origins = jnp.asarray(effective_origins(raw_origins), jnp.float32)
 
-            for do_this in range(self.views):
+            for do_this, (kind, keep) in enumerate(self._ablation_plan()):
                 rng, sample_rng = jax.random.split(rng)
                 init = jax.random.uniform(
                     sample_rng,
@@ -253,15 +291,15 @@ class SimultaneousSamplingRunner:
                     jnp.float32,
                 )
                 start = time.time()
-                if do_this == self.views - 1:
-                    # plain per-view inpainting baseline (:707-716)
+                if kind == "baseline":
+                    x0 = self._subset_views(np.asarray(init), keep)
                     out = self._jit_inpainting()(
-                        params, sample_rng, init, jnp.asarray(refer_full),
-                        jnp.asarray(mask_full),
+                        params, sample_rng, jnp.asarray(x0),
+                        jnp.asarray(self._subset_views(refer_full, keep)),
+                        jnp.asarray(self._subset_views(mask_full, keep)),
                     )
-                    n_out = self.batch
+                    n_out = self.groups * keep
                 else:
-                    keep = min(do_this + 2, self.views)
                     x0 = self._subset_views(np.asarray(init), keep)
                     out = self._jit_simultaneous(keep)(
                         params, sample_rng,
@@ -271,8 +309,12 @@ class SimultaneousSamplingRunner:
                         jnp.asarray(self._subset_views(sky_full, keep)),
                         jnp.asarray(self._subset_views(exist, keep)),
                         origins[:keep],
-                        jnp.asarray(self._subset_views(batch_np["to_world"], keep)),
-                        jnp.asarray(self._subset_views(batch_np["from_world"], keep)),
+                        jnp.asarray(
+                            self._subset_views(batch_np.get("to_world", identity), keep)
+                        ),
+                        jnp.asarray(
+                            self._subset_views(batch_np.get("from_world", identity), keep)
+                        ),
                     )
                     n_out = self.groups * keep
                 out = np.asarray(jax.block_until_ready(out))
@@ -306,3 +348,107 @@ class SimultaneousSamplingRunner:
                     time_taken[do_this] / (batch_idx + 1),
                 )
         return time_taken
+
+    # ------------------------------------------------------------------
+    # hyperparameter-grid ablation (NCSNRunnerBasicSimultaneous.sample,
+    # ncsn_runner_basic_simultaneous.py:495-565): six (correlation, gradRef)
+    # variants incl. the correlation=0 pure-independent baseline, setting 4,
+    # startStep 20, offset origins from config modifications.
+    GRID_VARIANTS = [
+        (0.05, 1.0), (0.05, 0.9), (0.1, 0.9), (0.0, 0.5), (0.1, 0.5), (0.1, 0.25),
+    ]
+
+    def hyperparameter_grid_sample(self, max_batches: Optional[int] = 2, ckpt_path=None, seed=0):
+        cfg = self.config
+        args = self.args
+        os.makedirs(args.image_folder, exist_ok=True)
+        params = self.load_params(ckpt_path)
+        _, test_ds = get_dataset(args, cfg)
+        loader = BatchLoader(
+            test_ds, batch_size=self.batch,
+            sampler=SceneBlockSampler(len(test_ds) // self.views, self.views, shuffle=False),
+            num_workers=2,
+        )
+        exist = build_exist_mask(
+            cfg_get(cfg, "sampling.exist_mask_path", None),
+            self.batch, self.rows, self.cols,
+        )
+        origins = jnp.asarray(
+            effective_origins(cfg_get(cfg, "data.modifications", [[0, 0, 0]])),
+            jnp.float32,
+        )[: self.views]
+        rng = jax.random.PRNGKey(seed)
+        results = {}
+        ccfg_base = ConsistencyConfig(
+            grid=self.grid, actual_batch_size=self.views, setting=4,
+            variant="offsets",
+        )
+        for batch_idx, batch_np in enumerate(loader):
+            if max_batches is not None and batch_idx >= max_batches:
+                break
+            for v_idx, (corr, gref) in enumerate(self.GRID_VARIANTS):
+                rng, srng = jax.random.split(rng)
+                init = jax.random.uniform(
+                    srng, (self.batch, self.channels, self.rows, self.cols), jnp.float32
+                )
+                out = jax.jit(
+                    lambda p, r, x, refer, msk, sky_, ex: simultaneous_inpainting_sample(
+                        r, x, self._score_fn(p), self.sigmas, self.lcfg, ccfg_base,
+                        refer_image=refer, refer_mask=msk, sky=sky_, exist_mask=ex,
+                        min_step_to_share=20, grad_ref=gref,
+                        correlation_coefficient=corr, origins=origins,
+                    )
+                )(
+                    params, srng, init,
+                    jnp.asarray(batch_np["real"], jnp.float32),
+                    jnp.asarray(batch_np["known"], jnp.float32),
+                    jnp.asarray(batch_np["sky"], jnp.float32),
+                    jnp.asarray(exist),
+                )
+                out = np.asarray(out)
+                np.save(
+                    os.path.join(
+                        args.image_folder,
+                        f"grid{v_idx}_{batch_idx}_completion.npy",
+                    ),
+                    two_channel_to_tiles(np.asarray(inverse_data_transform(cfg, jnp.asarray(out)))),
+                )
+                results[(v_idx, batch_idx)] = out
+        return results
+
+    # ------------------------------------------------------------------
+    def fast_fid(self, ckpt_path=None, seed=0):
+        """Unconditional batch sampling for FID evaluation
+        (ncsn_runner.py fast_fid; config section fast_fid)."""
+        from ..diffusion.langevin import anneal_langevin_dynamics
+
+        cfg = self.config
+        args = self.args
+        os.makedirs(args.image_folder, exist_ok=True)
+        params = self.load_params(ckpt_path)
+        n = cfg_get(cfg, "fast_fid.num_samples", 64)
+        bs = min(cfg_get(cfg, "fast_fid.batch_size", 16), n)
+        lcfg = LangevinConfig(
+            n_steps_each=cfg_get(cfg, "fast_fid.n_steps_each", 5),
+            step_lr=cfg_get(cfg, "fast_fid.step_lr", 6.2e-6),
+            denoise=cfg_get(cfg, "sampling.denoise", True),
+        )
+        sampler = jax.jit(
+            lambda p, r, x: anneal_langevin_dynamics(
+                r, x, self._score_fn(p), self.sigmas, lcfg
+            )
+        )
+        rng = jax.random.PRNGKey(seed)
+        done = 0
+        while done < n:
+            rng, srng = jax.random.split(rng)
+            init = jax.random.uniform(
+                srng, (bs, self.channels, self.rows, self.cols), jnp.float32
+            )
+            out = np.asarray(
+                inverse_data_transform(cfg, sampler(params, srng, init))
+            )
+            for i in range(bs):
+                np.save(os.path.join(args.image_folder, f"fid_{done + i}.npy"), out[i])
+            done += bs
+        return done
