@@ -114,6 +114,47 @@ def project_point_cloud(
     return RangeImage(image_depth, image_intensity, mask, sky, image_indices)
 
 
+def project_point_cloud_og(
+    points: np.ndarray,
+    rows: int = 64,
+    cols: int = 1024,
+    fov_up: float = 3.0,
+    fov_down: float = -25.0,
+):
+    """LiDARGen's original semantic-kitti-api projection
+    (``lidar_utils.LaserScan.do_range_projection``, lidar_utils.py:457-517):
+    floor-binned yaw/pitch, points ordered by DECREASING depth so closer
+    points overwrite, empty pixels hold -1.
+
+    Returns (range_image, remission_image, index_image).
+    """
+    pts = np.asarray(points, np.float64)
+    xyz = pts[:, :3]
+    remission = pts[:, 3] if pts.shape[1] > 3 else np.zeros(len(pts))
+
+    fov_up_r = fov_up / 180.0 * np.pi
+    fov_down_r = fov_down / 180.0 * np.pi
+    fov = abs(fov_down_r) + abs(fov_up_r)
+
+    depth = np.linalg.norm(xyz, 2, axis=1)
+    yaw = -np.arctan2(xyz[:, 1], xyz[:, 0])
+    pitch = np.arcsin(xyz[:, 2] / np.maximum(depth, 1e-12))
+
+    proj_x = 0.5 * (yaw / np.pi + 1.0) * cols
+    proj_y = (1.0 - (pitch + abs(fov_down_r)) / fov) * rows
+    proj_x = np.clip(np.floor(proj_x), 0, cols - 1).astype(np.int32)
+    proj_y = np.clip(np.floor(proj_y), 0, rows - 1).astype(np.int32)
+
+    order = np.argsort(depth)[::-1]
+    rng_img = np.full((rows, cols), -1.0, np.float32)
+    rem_img = np.full((rows, cols), -1.0, np.float32)
+    idx_img = np.full((rows, cols), -1, np.int32)
+    rng_img[proj_y[order], proj_x[order]] = depth[order]
+    rem_img[proj_y[order], proj_x[order]] = remission[order]
+    idx_img[proj_y[order], proj_x[order]] = np.arange(len(depth))[order]
+    return rng_img, rem_img, idx_img
+
+
 def _sky_and_obfuscation(image_xy: np.ndarray, rows: int, cols: int):
     """Row-scan heuristic from lidar_utils.py:274-309.
 

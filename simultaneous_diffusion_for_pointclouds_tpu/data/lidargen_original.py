@@ -1,0 +1,107 @@
+"""LiDARGen-original single-image datasets.
+
+Covers the reference's ``datasets/kitti.py``, ``datasets/lidar.py``,
+``datasets/kitti_getMissingPoints.py`` and ``datasets/nuscenes.py``: one
+range image per raw scan using the semantic-kitti-api projection
+(:func:`host_projection.project_point_cloud_og`), negatives zeroed,
+``log2(d+1)/6`` compression, optional random azimuth roll.  NuScenes uses a
+32x1024 grid with +10..-30 deg FoV.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Dict
+
+import numpy as np
+
+from ..config import cfg_get
+from .host_projection import project_point_cloud_og
+from .pose import load_velodyne_bin
+
+
+class KITTIRaw:
+    """One log-range image per raw KITTI(-360) velodyne scan
+    (datasets/kitti.py)."""
+
+    rows, cols = 64, 1024
+    fov_up, fov_down = 3.0, -25.0
+
+    def __init__(self, config, split: str = "train", scan_provider=None):
+        self.return_remission = cfg_get(config, "data.channels", 2) == 2
+        self.random_roll = cfg_get(config, "data.random_roll", False)
+        self._provider = scan_provider
+        if scan_provider is not None:
+            self.full_list = list(range(scan_provider.num_frames))
+            return
+        root = cfg_get(config, "data.root", os.environ.get("KITTI360_DATASET", "/data/KITTI-360"))
+        full_list = glob(os.path.join(root, "data_3d_raw/*/velodyne_points/data/*.bin"))
+        if split == "train":
+            self.full_list = [
+                f for f in full_list if "0000_sync" not in f and "0001_sync" not in f
+            ]
+        else:
+            self.full_list = [
+                f for f in full_list if "0000_sync" in f or "0001_sync" in f
+            ]
+
+    def __len__(self):
+        return len(self.full_list)
+
+    def _scan(self, idx):
+        if self._provider is not None:
+            return self._provider.scan(idx)
+        return load_velodyne_bin(self.full_list[idx])
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        scan = self._scan(idx)
+        rng_img, rem_img, idx_img = project_point_cloud_og(
+            scan, self.rows, self.cols, self.fov_up, self.fov_down
+        )
+        real = np.where(rng_img < 0, 0, rng_img) + 0.0001
+        real = np.clip(np.log2(real + 1.0) / 6.0, 0, 1)
+        roll = np.random.randint(self.cols) if self.random_roll else 0
+        if self.random_roll:
+            real = np.roll(real, roll, axis=1)
+        real = real[None]
+        if self.return_remission:
+            intensity = np.clip(rem_img, 0, 1.0)
+            if self.random_roll:
+                intensity = np.roll(intensity, roll, axis=1)
+            real = np.concatenate([real, intensity[None]], axis=0)
+        return dict(
+            real=real.astype(np.float32),
+            known=(real > 0.0001).astype(np.float32),
+            sky=np.ones((1,) + real.shape[1:], np.float32),
+            index=idx_img[None],
+        )
+
+
+class KITTIGetMissing(KITTIRaw):
+    """datasets/kitti_getMissingPoints.py: identical pipeline; the index
+    image marks which raw points never landed in the image ("missing")."""
+
+    def __getitem__(self, idx):
+        item = super().__getitem__(idx)
+        scan = self._scan(idx)
+        present = np.zeros(len(scan), bool)
+        hit = item["index"][0]
+        present[hit[hit >= 0].astype(int)] = True
+        item["missing_fraction"] = np.float32(1.0 - present.mean())
+        return item
+
+
+class NuScenesDataset(KITTIRaw):
+    """datasets/nuscenes.py: 32x1024 grid, +10..-30 deg FoV, 5-float scans."""
+
+    rows, cols = 32, 1024
+    fov_up, fov_down = 10.0, -30.0
+
+    def _scan(self, idx):
+        if self._provider is not None:
+            return self._provider.scan(idx)
+        path = self.full_list[idx]
+        # nuScenes LIDAR_TOP .pcd.bin files hold 5 floats per point
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
+        return pts[:, :4]

@@ -42,7 +42,25 @@ def get_dataset(args, config):
             KITTI360SceneCompletion(config, split="train"),
             KITTI360SceneCompletion(config, split="test"),
         )
-    if name in ("KITTI", "lidar", "KITTI360"):
+    if name in ("KITTI", "lidar"):
+        from .lidargen_original import KITTIRaw
+
+        return KITTIRaw(config, split="train"), KITTIRaw(config, split="test")
+    if name == "KITTIGetMISSING":
+        from .lidargen_original import KITTIGetMissing
+
+        return (
+            KITTIGetMissing(config, split="train"),
+            KITTIGetMissing(config, split="test"),
+        )
+    if name == "nuscenes":
+        from .lidargen_original import NuScenesDataset
+
+        return (
+            NuScenesDataset(config, split="train"),
+            NuScenesDataset(config, split="test"),
+        )
+    if name == "KITTI360":
         from .kitti360 import KITTI360SingleView
 
         return (

@@ -163,6 +163,19 @@ class CurriculumTrainer:
         state = self.init_state(rng, jnp.zeros((batch, c, h, w), jnp.float32))
 
         log_path = getattr(self.args, "log_path", None)
+        if getattr(self.args, "resume_training", False) and log_path:
+            import os
+
+            if os.path.isdir(os.path.join(log_path, "ckpt")):
+                # like the reference (ncsn_runner.py:65-74 /
+                # ncsn_runner_kitti_simultaneous.py:115-135): restore params
+                # (shape-compatible keys only), keep fresh optimizer state if
+                # the restore fails structurally
+                try:
+                    state = restore_checkpoint(log_path)
+                    logging.info("resumed from %s/ckpt", log_path)
+                except Exception as exc:  # pragma: no cover
+                    logging.warning("resume failed (%s); training fresh", exc)
         metrics = MetricsLogger(log_path)
         n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
         snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 2000)
@@ -222,8 +235,44 @@ class CurriculumTrainer:
                         max_reachable += 1
                     if log_path and true_step % snapshot_freq == 0:
                         save_checkpoint(log_path, state, step)
+                        if cfg_get(cfg, "training.snapshot_sampling", False):
+                            self._snapshot_sample(state, rng, step, log_path)
         metrics.close()
         return state
+
+    # ------------------------------------------------------------------
+    def _snapshot_sample(self, state, rng, step, log_path):
+        """Unconditional sample grid during training
+        (ncsn_runner.py:181-218 / ncsn_runner_kitti_simultaneous.py:308-345)."""
+        import os
+
+        from ..data.transforms import inverse_data_transform
+        from ..diffusion.langevin import LangevinConfig, anneal_langevin_dynamics
+        from ..utils.images import save_sample_grid
+
+        cfg = self.config
+        h = cfg_get(cfg, "data.image_size")
+        w = cfg_get(cfg, "data.image_width")
+        c = cfg_get(cfg, "data.channels", 2)
+        params = state["ema_params"] if self.use_ema else state["params"]
+        init = jax.random.uniform(rng, (36, c, h, w), jnp.float32)
+
+        def score_fn(x, labels):
+            return self.model.apply({"params": params}, x, labels)
+
+        lcfg = LangevinConfig(
+            n_steps_each=self.n_steps_each, step_lr=self.step_lr,
+            denoise=cfg_get(cfg, "sampling.denoise", True),
+        )
+        sample = anneal_langevin_dynamics(rng, init, score_fn, self.sigmas, lcfg)
+        sample = np.asarray(inverse_data_transform(cfg, sample))
+        sample_dir = os.path.join(log_path, "samples")
+        os.makedirs(sample_dir, exist_ok=True)
+        np.save(os.path.join(sample_dir, f"samples_{step}.npy"), sample)
+        if sample.shape[1] == 2:
+            save_sample_grid(
+                sample, os.path.join(sample_dir, f"image_grid_{step}.png"), 6
+            )
 
     # ------------------------------------------------------------------
     def test(self, steps: int = 50):
