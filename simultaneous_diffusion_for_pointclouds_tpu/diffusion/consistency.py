@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,13 +192,18 @@ def shared_view_images(
     keys = view_idx * (big * W) + row * W + col
     num_segments = B * big * W + 1  # +1 trash bin
     src_int = jnp.broadcast_to(cloud_int[:, None, :], (G, A, A * N))
-    stats = zbuffer_stats(
-        keys.reshape(-1),
-        new_depth.reshape(-1).astype(jnp.float32),
-        src_int.reshape(-1).astype(jnp.float32),
-        valid.reshape(-1),
-        num_segments,
+    # Materialise the scatter operands once: without the barrier XLA fuses
+    # the whole unproject/reproject chain into EACH of the five scatter
+    # operands, recomputing the 4M-point trig per scatter (~70ms/step).
+    keys, new_depth, src_int, valid = jax.lax.optimization_barrier(
+        (
+            keys.reshape(-1),
+            new_depth.reshape(-1).astype(jnp.float32),
+            src_int.reshape(-1).astype(jnp.float32),
+            valid.reshape(-1),
+        )
     )
+    stats = zbuffer_stats(keys, new_depth, src_int, valid, num_segments)
 
     def img(v):
         return v[: B * big * W].reshape(B, big, W)

@@ -40,19 +40,22 @@ class InstanceNorm2dPlus(nn.Module):
         gamma = self.param("gamma", _normal_init(1.0, 0.02), (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,)) if self.bias else None
 
-        means = jnp.mean(x, axis=(1, 2))  # (B, C)
+        # statistics in f32 for stability; affine math stays in the compute
+        # dtype so bf16 models keep bf16 activation traffic
+        xf = x.astype(jnp.float32)
+        means = jnp.mean(xf, axis=(1, 2))  # (B, C)
         m = jnp.mean(means, axis=-1, keepdims=True)
         v = jnp.var(means, axis=-1, keepdims=True, ddof=1)  # unbiased (torch.var)
-        means = (means - m) / jnp.sqrt(v + 1e-5)
+        means = ((means - m) / jnp.sqrt(v + 1e-5)).astype(x.dtype)
 
-        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)  # biased (InstanceNorm)
-        h = (x - mu) / jnp.sqrt(var + 1e-5)
+        mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)  # biased (InstanceNorm)
+        h = ((xf - mu) / jnp.sqrt(var + 1e-5)).astype(x.dtype)
 
-        h = h + means[:, None, None, :] * alpha
-        out = gamma * h
+        h = h + means[:, None, None, :] * alpha.astype(x.dtype)
+        out = gamma.astype(x.dtype) * h
         if self.bias:
-            out = out + beta
+            out = out + beta.astype(x.dtype)
         return out
 
 
