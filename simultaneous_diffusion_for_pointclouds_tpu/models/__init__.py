@@ -6,10 +6,13 @@ from .ncsnv2 import (
     NCSNLiDARSmall,
     get_model,
 )
+from .ncsn import NCSN, ncsn_from_config
 from .ema import ema_init, ema_update
 from .optimizers import get_optimizer
 
 __all__ = [
+    "NCSN",
+    "ncsn_from_config",
     "NCSNv2",
     "NCSNv2Deeper",
     "NCSNv2Deepest",

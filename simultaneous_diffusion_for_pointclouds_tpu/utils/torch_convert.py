@@ -75,6 +75,8 @@ def torch_state_dict_to_flax(state_dict: Mapping[str, Any], flax_params: Mapping
             candidates = [parent + ("conv", "kernel"), parent + ("kernel",)]
         elif leaf == "weight":
             candidates = [parent + ("weight",), parent + ("scale",)]
+            if parent and parent[-1] == "embed":  # nn.Embedding -> "embedding"
+                candidates.insert(0, parent[:-1] + ("embedding",))
         elif leaf == "bias":
             candidates = [parent + ("conv", "bias"), parent + ("bias",)]
         else:  # alpha / gamma / beta of InstanceNorm++

@@ -102,3 +102,15 @@ def test_ncsnv2_deepest_parity(ref_models):
     ref = ref_models.NCSNv2Deepest(cfg)
     flax_model = NCSNv2Deepest(cfg)
     _compare(ref, flax_model, cfg)
+
+
+def test_legacy_ncsn_parity(ref_models):
+    import models.ncsn as ref_ncsn_mod
+
+    from simultaneous_diffusion_for_pointclouds_tpu.models import ncsn_from_config
+
+    cfg = _small_config()
+    cfg.model.spec_norm = False
+    ref = ref_ncsn_mod.NCSN(cfg)
+    flax_model = ncsn_from_config(cfg)
+    _compare(ref, flax_model, cfg)
