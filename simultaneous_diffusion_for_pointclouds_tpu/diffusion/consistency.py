@@ -75,6 +75,10 @@ class ConsistencyConfig:
     variant: str = "offsets"  # "offsets" | "poses"
     too_high_threshold: float = 50.0
     min_depth_to_trust: float = 0.2  # metres
+    # process scene groups one at a time (lax.map) instead of batched:
+    # ~G-fold lower peak HBM for the merge, enabling the reference's
+    # 42-image batch on a 16 GB chip at a small wall-clock cost
+    sequential_groups: bool = False
 
     @property
     def use_src_sky(self) -> bool:

@@ -191,6 +191,7 @@ def simultaneous_inpainting_sample(
     to_world: Optional[jnp.ndarray] = None,
     from_world: Optional[jnp.ndarray] = None,
     return_shared: bool = False,
+    score_chunks: int = 1,
 ):
     """THE flagship sampler: joint multi-view inpainting with per-step
     cross-view consistency (models/__init__.py:111-602 "basic" /
@@ -204,8 +205,67 @@ def simultaneous_inpainting_sample(
     L = int(sigmas.shape[0])
     sigma_last = sigmas[-1]
     B = x_mod.shape[0]
+    A = ccfg.actual_batch_size
+    G = B // A
     mask = refer_mask.astype(x_mod.dtype)
     skyf = sky.astype(x_mod.dtype)
+
+    def score_call(x, labels):
+        """Optionally chunk the score forward (lax.map over sub-batches)
+        to bound peak activation memory for large sampling batches."""
+        if score_chunks <= 1:
+            return score_fn(x, labels)
+        k = score_chunks
+        assert B % k == 0
+        xc = x.reshape((k, B // k) + x.shape[1:])
+        lc = labels.reshape(k, B // k)
+        out = jax.lax.map(lambda args: score_fn(args[0], args[1]), (xc, lc))
+        return out.reshape(x.shape)
+
+    def shared_images(x, sigma_mod):
+        if not ccfg.sequential_groups or G == 1:
+            return shared_view_images(
+                x, skyf, exist_mask, ccfg, sigma_mod,
+                origins=origins, to_world=to_world, from_world=from_world,
+            )
+        # one scene group at a time: ~G-fold lower peak HBM.  The exist
+        # mask stays the global first A views (models/__init__.py:362) and
+        # the divergence guard stays a global max, like the reference.
+        exist_a = exist_mask.reshape(B, -1)[:A].reshape((A,) + x.shape[2:])
+        group_cfg = dataclasses.replace(ccfg, sequential_groups=False)
+
+        def one_group(args):
+            xg, skyg, twg, fwg = args
+            ni, mi, _ = shared_view_images(
+                xg, skyg, exist_a, group_cfg, sigma_mod,
+                origins=origins, to_world=twg, from_world=fwg,
+            )
+            return ni, mi
+
+        tw = (
+            to_world.reshape(G, A, 4, 4) if to_world is not None
+            else jnp.zeros((G, A, 4, 4), x.dtype)
+        )
+        fw = (
+            from_world.reshape(G, A, 4, 4) if from_world is not None
+            else jnp.zeros((G, A, 4, 4), x.dtype)
+        )
+        ni, mi = jax.lax.map(
+            one_group,
+            (
+                x.reshape((G, A) + x.shape[1:]),
+                skyf.reshape((G, A) + skyf.shape[1:]),
+                tw, fw,
+            ),
+        )
+        too_high = (
+            jnp.max(jnp.abs(x[:, 0])) * 6.0 / sigma_mod > ccfg.too_high_threshold
+        )
+        return (
+            ni.reshape((B,) + ni.shape[2:]),
+            mi.reshape((B,) + mi.shape[2:]),
+            too_high,
+        )
 
     def level(carry, cs):
         x, _, shared = carry
@@ -218,10 +278,7 @@ def simultaneous_inpainting_sample(
         )
 
         def consistency(x, shared):
-            new_images, mask_images, too_high = shared_view_images(
-                x, skyf, exist_mask, ccfg, sigma_mod,
-                origins=origins, to_world=to_world, from_world=from_world,
-            )
+            new_images, mask_images, too_high = shared_images(x, sigma_mod)
             corr = consistency_correction(
                 x, new_images, mask_images, skyf, mask, too_high
             )
@@ -229,7 +286,7 @@ def simultaneous_inpainting_sample(
 
         def step(s, inner):
             x, _, shared = inner
-            grad = jnp.nan_to_num(score_fn(x, labels))
+            grad = jnp.nan_to_num(score_call(x, labels))
             gl = -mask * (x - refer_image)
             noise = _level_noise(rng, c, s, x.shape, x.dtype, cfg.noise_scale)
             x = x + step_size * grad + grad_ref * gl + noise * jnp.sqrt(step_size * 2.0)
@@ -251,7 +308,7 @@ def simultaneous_inpainting_sample(
 
     if cfg.denoise:
         labels = jnp.full((B,), L - 1, jnp.int32)
-        x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels) + grad_ref * gl
+        x_mod = x_mod + sigma_last**2 * score_call(x_mod, labels) + grad_ref * gl
 
     x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
     if return_shared:

@@ -42,15 +42,15 @@ def shard_simultaneous_sampler(sampler: Callable, mesh: Mesh, n_image_args: int)
     batch-shard; everything else (origins, pose mats, scalars) replicates.
     """
     repl = replicate_sharding(mesh)
+    cache = {}
 
     def jitted(params, rng, *rest):
-        shardings = [repl, repl]
-        for i, arg in enumerate(rest):
-            if i < n_image_args:
-                shardings.append(batch_sharding(mesh, arg.ndim))
-            else:
-                shardings.append(repl)
-        fn = jax.jit(sampler, in_shardings=tuple(shardings))
-        return fn(params, rng, *rest)
+        ndims = tuple(getattr(a, "ndim", 0) for a in rest)
+        if ndims not in cache:
+            shardings = [repl, repl]
+            for i, nd in enumerate(ndims):
+                shardings.append(batch_sharding(mesh, nd) if i < n_image_args else repl)
+            cache[ndims] = jax.jit(sampler, in_shardings=tuple(shardings))
+        return cache[ndims](params, rng, *rest)
 
     return jitted
