@@ -276,7 +276,12 @@ class CurriculumTrainer:
 
     # ------------------------------------------------------------------
     def test(self, steps: int = 50):
-        """Checkpoint loss sweep (reference ``--test``, ncsn_runner.py:571)."""
+        """Checkpoint loss sweep: mean test DSM loss for EVERY saved
+        checkpoint between test.begin_ckpt and test.end_ckpt, like the
+        reference ``--test`` mode (ncsn_runner.py:571-621)."""
+        import glob as globmod
+        import os
+
         cfg = self.config
         _, test_ds = get_dataset(self.args, cfg)
         views = cfg_get(cfg, "sampling.actualBatchSize", 8)
@@ -286,21 +291,44 @@ class CurriculumTrainer:
             sampler=SceneBlockSampler(len(test_ds) // views, views, shuffle=False),
             num_workers=2,
         )
-        state = restore_checkpoint(self.args.log_path)
-        params = state["ema_params"] if self.use_ema else state["params"]
-        rng = jax.random.PRNGKey(0)
-        losses = []
+        begin = cfg_get(cfg, "test.begin_ckpt", 0)
+        end = cfg_get(cfg, "test.end_ckpt", 10**9)
+        ckpts = []
+        for path in sorted(globmod.glob(os.path.join(self.args.log_path, "ckpt_*"))):
+            try:
+                step = int(os.path.basename(path).split("_")[1])
+            except (IndexError, ValueError):
+                continue
+            if begin <= step <= end:
+                ckpts.append(step)
+        if not ckpts:
+            ckpts = [None]  # rolling checkpoint only
+
+        batches = []
         for i, b in enumerate(loader):
             if i >= steps:
                 break
-            rng, r = jax.random.split(rng)
-            loss, _ = self.eval_step(
-                params, r, jnp.asarray(b["real"]), jnp.asarray(b["known"]), 0
+            batches.append(b)
+
+        results = {}
+        rng = jax.random.PRNGKey(0)
+        for step in ckpts:
+            state = restore_checkpoint(self.args.log_path, step)
+            params = state["ema_params"] if self.use_ema else state["params"]
+            losses = []
+            for b in batches:
+                rng, r = jax.random.split(rng)
+                loss, _ = self.eval_step(
+                    params, r, jnp.asarray(b["real"]), jnp.asarray(b["known"]), 0
+                )
+                losses.append(float(loss))
+            mean = float(np.mean(losses)) if losses else float("nan")
+            results[step] = mean
+            logging.info(
+                "ckpt %s: test mean loss %.5f over %d batches",
+                step, mean, len(losses),
             )
-            losses.append(float(loss))
-        mean = float(np.mean(losses)) if losses else float("nan")
-        logging.info("test mean loss: %.5f over %d batches", mean, len(losses))
-        return mean
+        return results
 
 
 class BaseTrainer(CurriculumTrainer):
