@@ -48,7 +48,7 @@ from ..ops.geometry import (
     signed_log_decompress,
     unproject,
 )
-from ..ops.scatter import zbuffer_stats
+from ..ops.scatter import zbuffer_stats_sorted as zbuffer_stats
 
 
 def effective_origins(modifications: np.ndarray) -> np.ndarray:

@@ -95,21 +95,26 @@ def zbuffer_stats(
     return ZBufferStats(sum_value, sum_payload, count, min_value, min_payload)
 
 
-def _segmented_inclusive_sum(vals: jnp.ndarray, start: jnp.ndarray) -> jnp.ndarray:
-    """Segmented inclusive prefix sum (Hillis–Steele) over (E, C) values with
-    boundary flags ``start``: log2(E) passes of masked shifted adds — pure
-    vector ops, tree-structured accumulation (no catastrophic cancellation).
-    """
-    e = vals.shape[0]
+def _segmented_scan(add_vals: jnp.ndarray, first_vals: jnp.ndarray, start: jnp.ndarray):
+    """Segmented inclusive scans (Hillis–Steele, log2(E) masked-shift
+    passes): ``add_vals`` (E, Ca) accumulate within segments (tree-ordered
+    sums — no catastrophic cancellation); ``first_vals`` (E, Cf) propagate
+    each segment's FIRST element forward."""
+    e = add_vals.shape[0]
     flag = start
     shift = 1
     while shift < e:
-        prev = jnp.concatenate([jnp.zeros((shift, vals.shape[1]), vals.dtype), vals[:-shift]])
+        pad_a = jnp.zeros((shift, add_vals.shape[1]), add_vals.dtype)
+        prev_a = jnp.concatenate([pad_a, add_vals[:-shift]])
+        pad_f = jnp.zeros((shift, first_vals.shape[1]), first_vals.dtype)
+        prev_f = jnp.concatenate([pad_f, first_vals[:-shift]])
         prev_flag = jnp.concatenate([jnp.ones(shift, bool), flag[:-shift]])
-        vals = vals + jnp.where(flag[:, None], 0.0, prev)
+        keep = flag[:, None]
+        add_vals = add_vals + jnp.where(keep, 0.0, prev_a)
+        first_vals = jnp.where(keep, first_vals, prev_f)
         flag = flag | prev_flag
         shift *= 2
-    return vals
+    return add_vals, first_vals
 
 
 def zbuffer_stats_sorted(
@@ -119,17 +124,21 @@ def zbuffer_stats_sorted(
     valid: jnp.ndarray,
     num_segments: int,
 ) -> ZBufferStats:
-    """Sort-based z-buffer reductions — same results as
-    :func:`zbuffer_stats`, one explicit (key, value)-sort instead of five
-    independent scatter ops (XLA lowers each TPU scatter through its own
-    sort, so sharing one sort is ~2x cheaper end-to-end; measured in
-    bench.py's profile notes).
+    """Sort-based z-buffer reductions — identical results to
+    :func:`zbuffer_stats` at roughly half the cost on TPU (see
+    PERF_NOTES.md): every TPU scatter pays an internal sort, so the five
+    independent segment ops are replaced by
 
-    After sorting by (key, value-bits): the first element of every segment
-    is the min (and carries its payload); segment sums come from a segmented
-    scan read off at segment ends; dense images are built with two
-    unique-index scatters (ends and starts).
+    1. ONE (key, value-bits) sort carrying (payload, valid)  [~12 ms @4.2M]
+    2. segmented Hillis–Steele scans: sums accumulate, the segment-first
+       (= min, thanks to the sort) values propagate to the segment end
+       [~free: pure vector passes]
+    3. a second 1-key sort that compacts segment-END rows to the front so
+       the dense images are built with five SMALL (num_segments-sized)
+       unique-index 1-column scatters (multi-column TPU scatters cost ~5x
+       per column; large ones scale with E).
     """
+    e = keys.shape[0]
     trash = num_segments - 1
     k = jnp.where(valid, keys, trash).astype(jnp.int32)
     vbits = _order_bits(jnp.where(valid, value, _BIG).astype(jnp.float32))
@@ -143,15 +152,27 @@ def zbuffer_stats_sorted(
     start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones(1, bool)])
 
-    scanned = _segmented_inclusive_sum(jnp.stack([d, sp, sv], axis=1), start)
-
-    zeros = jnp.zeros((num_segments, 3), jnp.float32)
-    idx_end = jnp.where(end, sk, num_segments)
-    sums = zeros.at[idx_end].set(scanned, mode="drop", unique_indices=True)
-    sum_value, sum_payload, count = sums[:, 0], sums[:, 1], sums[:, 2]
-
-    idx_start = jnp.where(start & (sv > 0), sk, num_segments)
-    mins = jnp.zeros((num_segments, 2), jnp.float32).at[idx_start].set(
-        jnp.stack([d, sp], axis=1), mode="drop", unique_indices=True
+    sums, firsts = _segmented_scan(
+        jnp.stack([d, sp, sv], axis=1),
+        jnp.stack([d * sv, sp], axis=1),  # min invalid-only segments -> 0
+        start,
     )
-    return ZBufferStats(sum_value, sum_payload, count, mins[:, 0], mins[:, 1])
+
+    # compact END rows (<= num_segments of them) to the front
+    order = jnp.where(end, 0, 1).astype(jnp.int32)
+    co, csk, c0, c1, c2, c3, c4 = jax.lax.sort(
+        (order, sk, sums[:, 0], sums[:, 1], sums[:, 2], firsts[:, 0], firsts[:, 1]),
+        num_keys=1,
+    )
+    n = min(num_segments, e)
+    # rows beyond the end-count carry order=1; their keys are routed OOB
+    idx = jnp.where(co[:n] == 0, csk[:n], num_segments)
+
+    def densify(col):
+        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
+            col[:n], mode="drop", unique_indices=True
+        )
+
+    return ZBufferStats(
+        densify(c0), densify(c1), densify(c2), densify(c3), densify(c4)
+    )
