@@ -78,6 +78,7 @@ class BatchLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error = []
 
         def produce():
             try:
@@ -94,6 +95,8 @@ class BatchLoader:
                     if batch and not self.drop_last:
                         items = list(pool.map(self.dataset.__getitem__, batch))
                         q.put(collate(items))
+            except BaseException as exc:  # propagate to the consumer
+                error.append(exc)
             finally:
                 q.put(None)
 
@@ -107,6 +110,8 @@ class BatchLoader:
                 yield batch
         finally:
             stop.set()
+        if error:
+            raise error[0]
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size

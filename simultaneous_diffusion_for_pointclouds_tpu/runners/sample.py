@@ -117,7 +117,31 @@ class SimultaneousSamplingRunner:
 
         return score
 
-    # two jitted entry points, cached per views-count ------------------
+    # jitted entry points, cached per views-count ----------------------
+    @functools.lru_cache(maxsize=16)
+    def _jit_second_method(self, views: int):
+        """3D-noise sampler (config ``sampling.method: second``); the
+        reference dispatches it for doThis>=8 (dead in the shipped ranges)
+        but it is a first-class method here."""
+        from ..diffusion.second_method import (
+            SecondMethodConfig,
+            mine_sampler_grid,
+            simultaneous_second_method_sample,
+        )
+
+        scfg = SecondMethodConfig(
+            grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting
+        )
+
+        def run(params, rng, x, refer, mask, indices, origins):
+            return simultaneous_second_method_sample(
+                rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
+                refer_image=refer, refer_mask=mask, refer_indices=indices,
+                origins=origins, grad_ref=self.grad_ref,
+            )
+
+        return jax.jit(run)
+
     @functools.lru_cache(maxsize=16)
     def _jit_simultaneous(self, views: int):
         ccfg = ConsistencyConfig(
@@ -291,7 +315,28 @@ class SimultaneousSamplingRunner:
                     jnp.float32,
                 )
                 start = time.time()
-                if kind == "baseline":
+                if kind == "joint" and cfg_get(cfg, "sampling.method", "basic") == "second":
+                    x0 = self._subset_views(np.asarray(init), keep)
+                    out = self._jit_second_method(keep)(
+                        params, sample_rng, jnp.asarray(x0),
+                        jnp.asarray(self._subset_views(refer_full, keep)),
+                        jnp.asarray(self._subset_views(mask_full, keep)),
+                        jnp.asarray(
+                            self._subset_views(
+                                batch_np.get(
+                                    "index",
+                                    -np.ones(
+                                        (self.batch, 1, self.rows, self.cols),
+                                        np.float32,
+                                    ),
+                                ),
+                                keep,
+                            )
+                        ),
+                        jnp.tile(origins[:keep], (self.groups, 1)),
+                    )
+                    n_out = self.groups * keep
+                elif kind == "baseline":
                     x0 = self._subset_views(np.asarray(init), keep)
                     out = self._jit_inpainting()(
                         params, sample_rng, jnp.asarray(x0),
