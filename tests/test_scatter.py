@@ -55,3 +55,25 @@ def test_zbuffer_empty_segments_are_zero():
     assert float(stats.min_value[3]) == 1.0
     assert float(stats.min_payload[3]) == 5.0
     assert float(stats.sum_value[3]) == 3.0
+
+
+def test_sorted_zbuffer_matches_segment_ops_fuzz():
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_stats_sorted,
+    )
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        n, segs = 4000, 97
+        keys = rng.integers(0, segs - 1, n).astype(np.int32)
+        value = rng.uniform(0, 10, n).astype(np.float32)
+        payload = rng.normal(size=n).astype(np.float32)
+        valid = rng.uniform(size=n) > 0.4
+
+        a = zbuffer_stats(keys, value, payload, valid, segs)
+        b = zbuffer_stats_sorted(keys, value, payload, valid, segs)
+        live = slice(0, segs - 1)
+        for name in a._fields:
+            x = np.asarray(getattr(a, name))[live]
+            y = np.asarray(getattr(b, name))[live]
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-4, err_msg=name)
