@@ -44,6 +44,10 @@ class LangevinConfig:
     step_lr: float = 6.2e-6
     denoise: bool = True
     noise_scale: float = 1.0
+    # emit the state after every noise level (the reference's
+    # ``final_only: false`` trajectory dumps); adds an (L, B, C, H, W)
+    # output so keep it for small configs/debugging
+    collect_levels: bool = False
 
 
 def _level_noise(rng, c, s, shape, dtype, scale):
@@ -70,13 +74,15 @@ def anneal_langevin_dynamics(rng, x_mod, score_fn: ScoreFn, sigmas, cfg: Langevi
             return x + step_size * grad + noise * jnp.sqrt(step_size * 2.0)
 
         x = jax.lax.fori_loop(0, cfg.n_steps_each, step, x)
-        return x, None
+        return x, (x if cfg.collect_levels else None)
 
-    x_mod, _ = jax.lax.scan(level, x_mod, (jnp.arange(L), sigmas))
+    x_mod, trajectory = jax.lax.scan(level, x_mod, (jnp.arange(L), sigmas))
 
     if cfg.denoise:
         labels = jnp.full((B,), L - 1, jnp.int32)
         x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels)
+    if cfg.collect_levels:
+        return x_mod, trajectory
     return x_mod
 
 

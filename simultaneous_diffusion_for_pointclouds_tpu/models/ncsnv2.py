@@ -182,6 +182,11 @@ class _NCSNBase(nn.Module):
 def _family(name, depth, coord_conv):
     def make(config=None, *, sigmas=None, dtype=jnp.float32, **kw):
         """Construct from a reference-style config namespace or kwargs."""
+        if config is not None and cfg_get(config, "model.spec_norm", False):
+            raise NotImplementedError(
+                "spec_norm=true is not supported (no shipped reference config "
+                "enables spectral norm; see COVERAGE.md)"
+            )
         if config is not None:
             sig = sigmas if sigmas is not None else tuple(
                 float(s) for s in np.asarray(get_sigmas(config))
