@@ -32,6 +32,7 @@ class RangeImage(NamedTuple):
     mask: np.ndarray  # (H, W) bool obfuscation mask (occluded-by-closer)
     sky: np.ndarray  # (H, W) bool; always all-False (reference disables it)
     indices: np.ndarray  # (H, W) original point index per pixel; -1 if empty
+    xy: np.ndarray = None  # (H, W) horizontal distance; MAX_RANGE if empty
 
 
 def project_point_cloud(
@@ -111,7 +112,9 @@ def project_point_cloud(
 
     mask, sky = _sky_and_obfuscation(image_xy, rows, cols)
 
-    return RangeImage(image_depth, image_intensity, mask, sky, image_indices)
+    return RangeImage(
+        image_depth, image_intensity, mask, sky, image_indices, image_xy
+    )
 
 
 def project_point_cloud_og(

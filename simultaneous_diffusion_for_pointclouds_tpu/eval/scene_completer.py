@@ -75,7 +75,7 @@ def complete_scene(
 
         # sky heuristic from the raw scan seen from this view (:125-250)
         img = project_point_cloud(raw, final_mod, rows, cols)
-        sky = _sky_from_xy(real_distance, img, rows, cols)
+        sky = _sky_from_xy(img.xy, rows, cols)
 
         mask = real_distance > 1.5
         if exist_mask is not None:
@@ -98,10 +98,10 @@ def complete_scene(
     return final
 
 
-def _sky_from_xy(real_distance, img, rows, cols):
+def _sky_from_xy(image_xy, rows, cols):
     from ..ops.geometry import MAX_RANGE
 
-    image_xy = img.depth.copy()  # xy-projected raw depth as proxy
+    image_xy = np.asarray(image_xy)
     min_depth = np.full(cols, MAX_RANGE)
     sky = np.zeros((rows, cols), dtype=bool)
     sky[0, :] = True
