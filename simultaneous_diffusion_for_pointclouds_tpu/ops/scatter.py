@@ -117,6 +117,110 @@ def _segmented_scan(add_vals: jnp.ndarray, first_vals: jnp.ndarray, start: jnp.n
     return add_vals, first_vals
 
 
+def zbuffer_stats_sorted_v3(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_segments: int,
+) -> ZBufferStats:
+    """Leaner sort-based z-buffer (same results as :func:`zbuffer_stats`).
+
+    On-TPU profile of :func:`zbuffer_stats_sorted` at the flagship shape
+    (E=4.2M, tools/profile_merge.py): sort1 15 ms, scans 6.6 ms, sort2
+    24 ms — the 7-operand compaction sort dominates because variadic sort
+    cost scales with operand count.  v3 restructures so each sort carries
+    the minimum:
+
+    1. sort1 by key ONLY (1 key, 3 operands): the segment *min* no longer
+       needs depth bits in the sort key — it is recovered by a lexicographic
+       (value-bits, payload-bits) segmented min-scan, which rides the same
+       Hillis-Steele passes as the sums.
+    2. the count needs no scanned column at all: with segment-END rows
+       compacted in key order, segment r starts right after segment r-1
+       ends, so ``count = end_pos - prev_end_pos``.
+    3. sort2 carries (packed end-flag+key, position) — 2 operands instead
+       of 7; the four scanned stats are gathered at the compacted end
+       positions afterwards (monotone indices -> cheap gather).
+
+    Tie-break note: bit-equal values resolve to the smaller payload bit
+    pattern (measure-zero on diffusing floats, same caveat as v2).
+    """
+    e = keys.shape[0]
+    trash = num_segments - 1
+    k = jnp.where(valid, keys, trash).astype(jnp.int32)
+
+    sk, sv, sp = jax.lax.sort(
+        (k, value.astype(jnp.float32), payload.astype(jnp.float32)), num_keys=1
+    )
+    s_valid = sk != trash  # only invalid entries are routed to the trash bin
+    d = jnp.where(s_valid, sv, 0.0)
+    p = jnp.where(s_valid, sp, 0.0)
+    # value >= 0 (log depth) so its bit pattern is order-preserving
+    d_bits = _order_bits(jnp.where(s_valid, sv, _BIG))
+    p_bits = _order_bits(sp)
+
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones(1, bool)])
+
+    # fused segmented scans: sums accumulate, (d_bits, p_bits) lexicographic
+    # min propagates to the segment end
+    add_vals = jnp.stack([d, p], axis=1)
+    min_vals = jnp.stack([d_bits, p_bits], axis=1)
+    flag = start
+    shift = 1
+    while shift < e:
+        pad_a = jnp.zeros((shift, 2), add_vals.dtype)
+        prev_a = jnp.concatenate([pad_a, add_vals[:-shift]])
+        pad_m = jnp.full((shift, 2), jnp.iinfo(jnp.int32).max, min_vals.dtype)
+        prev_m = jnp.concatenate([pad_m, min_vals[:-shift]])
+        prev_flag = jnp.concatenate([jnp.ones(shift, bool), flag[:-shift]])
+        keep = flag[:, None]
+        add_vals = add_vals + jnp.where(keep, 0.0, prev_a)
+        prev_smaller = (prev_m[:, 0] < min_vals[:, 0]) | (
+            (prev_m[:, 0] == min_vals[:, 0]) & (prev_m[:, 1] < min_vals[:, 1])
+        )
+        min_vals = jnp.where(
+            keep | ~prev_smaller[:, None], min_vals, prev_m
+        )
+        flag = flag | prev_flag
+        shift *= 2
+    sums, mins = add_vals, min_vals
+
+    # compact END rows to the front: 2-operand sort by (end?key:BIG)
+    okey = jnp.where(end, sk, jnp.iinfo(jnp.int32).max)
+    pos = jnp.arange(e, dtype=jnp.int32)
+    cokey, cpos = jax.lax.sort((okey, pos), num_keys=1)
+
+    n = min(num_segments, e)
+    cokey, cpos = cokey[:n], cpos[:n]
+    present = cokey < num_segments  # real end rows only
+    # segment r spans (prev end, this end]; ends are in increasing key AND
+    # position order, and the sorted array is fully partitioned by segments
+    prev_end = jnp.concatenate([jnp.full(1, -1, jnp.int32), cpos[:-1]])
+    cnt = (cpos - prev_end).astype(jnp.float32)
+
+    sum_value = sums[cpos, 0]
+    sum_payload = sums[cpos, 1]
+    min_value = _bits_to_float(mins[cpos, 0])
+    min_payload = _bits_to_float(mins[cpos, 1])
+
+    idx = jnp.where(present, cokey, num_segments)
+
+    def densify(col):
+        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
+            col, mode="drop", unique_indices=True
+        )
+
+    return ZBufferStats(
+        densify(sum_value),
+        densify(sum_payload),
+        densify(cnt),
+        densify(min_value),
+        densify(min_payload),
+    )
+
+
 def zbuffer_stats_sorted(
     keys: jnp.ndarray,
     value: jnp.ndarray,

@@ -47,19 +47,42 @@ from ..utils.images import save_sample_grid, two_channel_to_tiles
 from ..utils.logging_utils import setup_logging
 
 
+# The reference's only checked-in data fixture: per-pixel return counts used
+# to mask unreliable sensor pixels (MeasureResults/existTotalLiDARGenSettings
+# .npy, consumed at ncsn_runner_kitti_simultaneous.py:527).  The runner tries
+# the reference's /data path first, then this fixture, so sampling on this
+# box uses the real mask rather than silently falling back to all-ones.
+EXIST_MASK_FALLBACKS = (
+    "/data/existTotalLiDARGenSettings.npy",
+    "/root/reference/MeasureResults/existTotalLiDARGenSettings.npy",
+)
+
+
 def build_exist_mask(path: Optional[str], batch: int, rows: int, cols: int) -> np.ndarray:
     """Sensor-failure mask from pixel-return counts
     (ncsn_runner_kitti_simultaneous.py:527-533): threshold at max/3, then
-    4 erosion iterations below row 2.  All-ones when no fixture exists."""
-    if path and os.path.isfile(path):
+    4 erosion iterations below row 2 (border_value=1).  All-ones only when
+    neither the given path nor any fallback fixture exists (logged)."""
+    candidates = [path] if path else []
+    candidates += [p for p in EXIST_MASK_FALLBACKS if p != path]
+    found = next((p for p in candidates if p and os.path.isfile(p)), None)
+    if found:
         import scipy.ndimage
 
-        vals = np.load(path)
-        mask = vals > np.max(vals) / 3
-        mask[2:] = scipy.ndimage.binary_erosion(
-            mask[2:], border_value=1, iterations=4
-        )
+        vals = np.load(found)
+        if vals.shape != (rows, cols):
+            logging.warning(
+                "exist-mask fixture %s has shape %s, want (%d, %d); using all-ones",
+                found, vals.shape, rows, cols,
+            )
+            mask = np.ones((rows, cols), dtype=bool)
+        else:
+            mask = vals > np.max(vals) / 3
+            mask[2:] = scipy.ndimage.binary_erosion(
+                mask[2:], border_value=1, iterations=4
+            )
     else:
+        logging.warning("no exist-mask fixture found (tried %s); using all-ones", candidates)
         mask = np.ones((rows, cols), dtype=bool)
     return np.tile(mask[None], (batch, 1, 1)).astype(np.float32)
 

@@ -60,20 +60,47 @@ def test_zbuffer_empty_segments_are_zero():
 def test_sorted_zbuffer_matches_segment_ops_fuzz():
     from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
         zbuffer_stats_sorted,
+        zbuffer_stats_sorted_v3,
     )
 
-    for seed in range(3):
-        rng = np.random.default_rng(seed)
-        n, segs = 4000, 97
-        keys = rng.integers(0, segs - 1, n).astype(np.int32)
-        value = rng.uniform(0, 10, n).astype(np.float32)
-        payload = rng.normal(size=n).astype(np.float32)
-        valid = rng.uniform(size=n) > 0.4
+    for impl in (zbuffer_stats_sorted, zbuffer_stats_sorted_v3):
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            n, segs = 4000, 97
+            keys = rng.integers(0, segs - 1, n).astype(np.int32)
+            value = rng.uniform(0, 10, n).astype(np.float32)
+            payload = rng.normal(size=n).astype(np.float32)
+            valid = rng.uniform(size=n) > 0.4
 
-        a = zbuffer_stats(keys, value, payload, valid, segs)
-        b = zbuffer_stats_sorted(keys, value, payload, valid, segs)
-        live = slice(0, segs - 1)
-        for name in a._fields:
-            x = np.asarray(getattr(a, name))[live]
-            y = np.asarray(getattr(b, name))[live]
-            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-4, err_msg=name)
+            a = zbuffer_stats(keys, value, payload, valid, segs)
+            b = impl(keys, value, payload, valid, segs)
+            live = slice(0, segs - 1)
+            for name in a._fields:
+                x = np.asarray(getattr(a, name))[live]
+                y = np.asarray(getattr(b, name))[live]
+                np.testing.assert_allclose(
+                    x, y, rtol=1e-5, atol=1e-4, err_msg=f"{impl.__name__} {name}"
+                )
+
+
+def test_sorted_zbuffer_v3_more_elements_than_segments():
+    # e < num_segments exercises the n = min(num_segments, e) compaction path
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_stats_sorted_v3,
+    )
+
+    rng = np.random.default_rng(7)
+    n, segs = 50, 200
+    keys = rng.integers(0, segs - 1, n).astype(np.int32)
+    value = rng.uniform(0, 10, n).astype(np.float32)
+    payload = rng.normal(size=n).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.4
+    a = zbuffer_stats(keys, value, payload, valid, segs)
+    b = zbuffer_stats_sorted_v3(keys, value, payload, valid, segs)
+    live = slice(0, segs - 1)
+    for name in a._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name))[live],
+            np.asarray(getattr(b, name))[live],
+            rtol=1e-5, atol=1e-4, err_msg=name,
+        )
