@@ -86,8 +86,8 @@ def main():
 
     from simultaneous_diffusion_for_pointclouds_tpu.config import cfg_get
     from simultaneous_diffusion_for_pointclouds_tpu.runners import (
-        CurriculumTrainer,
         SimultaneousSamplingRunner,
+        trainer_for,
     )
 
     dataset = cfg_get(config, "data.dataset")
@@ -101,12 +101,12 @@ def main():
             runner = SimultaneousSamplingRunner(args, config, variant=variant)
             runner.fast_fid(ckpt_path=args.ckpt)
         elif args.test:
-            CurriculumTrainer(args, config).test()
+            trainer_for(args, config).test()
         elif args.nvs:
             runner = SimultaneousSamplingRunner(args, config, variant=variant)
             runner.sample(max_batches=args.max_batches, ckpt_path=args.ckpt)
         else:
-            CurriculumTrainer(args, config).train(max_steps=args.max_steps)
+            trainer_for(args, config).train(max_steps=args.max_steps)
     except Exception:
         logging.error(traceback.format_exc())
         return 1

@@ -332,8 +332,10 @@ class CurriculumTrainer:
 
 
 class BaseTrainer(CurriculumTrainer):
-    """Plain LiDARGen training: random-sigma DSM on full images
-    (ncsn_runner.py:42-221)."""
+    """Plain LiDARGen training: random-sigma DSM on full images, EMA test
+    loss every 100 steps, ``snapshot_freq`` checkpoints and optional sample
+    grids (ncsn_runner.py:42-221).  Dispatched by ``main.py`` for the
+    non-simultaneous datasets (KITTI/lidar/KITTI360/nuscenes/...)."""
 
     @functools.partial(jax.jit, static_argnums=0)
     def base_step(self, state, rng, x):
@@ -357,23 +359,46 @@ class BaseTrainer(CurriculumTrainer):
         )
         return {"params": params, "opt_state": opt_state, "ema_params": ema_params}, loss
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def base_eval_step(self, params, rng, x):
+        """Test DSM loss with the EMA copy (ncsn_runner.py:142-166)."""
+
+        def score_fn(inp, lbl):
+            return self.model.apply({"params": params}, inp, lbl)
+
+        return anneal_dsm_score_estimation(
+            score_fn, rng, x, self.sigmas, anneal_power=self.anneal_power
+        )
+
     def train(self, max_steps: Optional[int] = None):
         cfg = self.config
-        train_ds, _ = get_dataset(self.args, cfg)
+        train_ds, test_ds = get_dataset(self.args, cfg)
+        b = cfg_get(cfg, "training.batch_size", 8)
         loader = BatchLoader(
             train_ds,
-            batch_size=cfg_get(cfg, "training.batch_size", 8),
+            batch_size=b,
             shuffle=True,
             num_workers=cfg_get(cfg, "data.num_workers", 4),
         )
+        test_loader = BatchLoader(test_ds, batch_size=b, shuffle=True, num_workers=2)
         rng = jax.random.PRNGKey(getattr(self.args, "seed", 1234))
         h, w = cfg_get(cfg, "data.image_size"), cfg_get(cfg, "data.image_width")
         c = cfg_get(cfg, "data.channels", 2)
-        b = cfg_get(cfg, "training.batch_size", 8)
         state = self.init_state(rng, jnp.zeros((b, c, h, w), jnp.float32))
         log_path = getattr(self.args, "log_path", None)
+        if getattr(self.args, "resume_training", False) and log_path:
+            import os
+
+            if os.path.isdir(os.path.join(log_path, "ckpt")):
+                try:
+                    state = restore_checkpoint(log_path)
+                    logging.info("resumed from %s/ckpt", log_path)
+                except Exception as exc:  # pragma: no cover
+                    logging.warning("resume failed (%s); training fresh", exc)
         metrics = MetricsLogger(log_path)
         n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
+        snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 5000)
+        test_iter = iter(test_loader)
         step = 0
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
@@ -384,10 +409,29 @@ class BaseTrainer(CurriculumTrainer):
                 if step % 10 == 0:
                     metrics.scalar("loss", loss, step)
                     logging.info("step: %d, loss: %.5f", step, float(loss))
+                if step % 100 == 0:
+                    try:
+                        tb = next(test_iter)
+                    except StopIteration:
+                        test_iter = iter(test_loader)
+                        tb = next(test_iter)
+                    rng, er = jax.random.split(rng)
+                    params = state["ema_params"] if self.use_ema else state["params"]
+                    tl = self.base_eval_step(
+                        params, er, data_transform(cfg, jnp.asarray(tb["real"]))
+                    )
+                    metrics.scalar("test_loss", tl, step)
+                    logging.info("step: %d, test_loss: %.5f", step, float(tl))
+                if log_path and step % snapshot_freq == 0:
+                    save_checkpoint(log_path, state, step)
+                    if cfg_get(cfg, "training.snapshot_sampling", False):
+                        self._snapshot_sample(state, rng, step, log_path)
                 if step >= n_iters:
                     if log_path:
                         save_checkpoint(log_path, state, step)
                     metrics.close()
                     return state
+        if log_path:
+            save_checkpoint(log_path, state, step)
         metrics.close()
         return state
