@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.geometry import RangeGrid, crop_big_with_negatives, unproject
-from ..ops.scatter import zbuffer_stats
+from ..ops.scatter import zbuffer_min2
 from .langevin import LangevinConfig, _level_noise
 
 
@@ -78,6 +78,7 @@ def simultaneous_second_method_sample(
     refer_mask,
     refer_indices,
     origins,
+    raw_origins=None,
     grad_ref: float = 0.1,
 ):
     """Returns the final (B, 2, H, W) images.
@@ -85,7 +86,11 @@ def simultaneous_second_method_sample(
     ``refer_indices``: (B, 1, H, W) or (B, H, W) float/int per-pixel point
     ids from the dataset projection (-1 where empty).
     ``origins``: (B, 3) effective per-view origins (already through
-    :func:`consistency.effective_origins`).
+    :func:`consistency.effective_origins`) — used for un/reprojection
+    inside the level loop (reference models/__init__.py:636-639,734).
+    ``raw_origins``: (B, 3) UNrescaled origins — the setting-7
+    ground-truth median is computed with these (``originListOG``,
+    models/__init__.py:713-715); defaults to ``origins``.
     """
     grid = scfg.grid
     B, _, H, W = x_mod.shape
@@ -103,15 +108,25 @@ def simultaneous_second_method_sample(
     x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
     x_indices = refer_idx
 
-    # setting 7: ground-truth median in world coordinates (:710-716)
+    # setting 7: ground-truth median in world coordinates, translated by the
+    # RAW origins, not the rescaled ones (:710-716 uses originListOG)
     if scfg.setting == 7:
+        med_origins = origins if raw_origins is None else jnp.asarray(raw_origins, x_mod.dtype)
         dist0 = jnp.power(2.0, jnp.abs(x_mod[:, 0]) * 6.0) - 1.0
-        pts0 = unproject(dist0, grid, origins)
-        known = (mask[:, 0] != 0).reshape(B, H, W)
-        sel = jnp.where(known[..., None], pts0, jnp.nan)
+        pts0 = unproject(dist0, grid, med_origins)
+        known = (mask[:, 0] != 0).reshape(-1)
+
+        def torch_median(vals):
+            # torch.median returns the LOWER of the two middle elements for
+            # even counts (unlike numpy's average); NaNs sort last.
+            v = jnp.sort(jnp.where(known, vals, jnp.nan))
+            k = jnp.sum(known)
+            return v[jnp.maximum((k - 1) // 2, 0)]
+
+        flat = pts0.reshape(-1, 3)
         gt_med = jnp.stack([
-            jnp.nanmedian(sel[..., 0]), jnp.nanmedian(sel[..., 1]),
-            jnp.nanmedian(sel[..., 2]),
+            torch_median(flat[:, 0]), torch_median(flat[:, 1]),
+            torch_median(flat[:, 2]),
         ])
     else:
         gt_med = jnp.zeros(3, x_mod.dtype)
@@ -158,14 +173,15 @@ def simultaneous_second_method_sample(
 
             # scatter-average positions, intensity, displacement per id
             ones = jnp.ones(BN, jnp.float32)
-            count = jax.ops.segment_sum(ones, flat_ids, C) + 1e-12
+            raw_count = jax.ops.segment_sum(ones, flat_ids, C)
+            count = raw_count + 1e-12
             def avg(v):
                 return jax.ops.segment_sum(v, flat_ids, C) / count
             cx = avg(pts[:, 0]) + avg(nois[:, 0])
             cy = avg(pts[:, 1]) + avg(nois[:, 1])
             cz = avg(pts[:, 2]) + avg(nois[:, 2])
             ci = avg(intens) + avg(noise_i)
-            used = jax.ops.segment_sum(ones, flat_ids, C) > 0
+            used = raw_count > 0
 
             if scfg.setting == 7:
                 pull = (c < scfg.median_pull_levels).astype(x.dtype)
@@ -200,13 +216,11 @@ def simultaneous_second_method_sample(
 
             keys = view_idx * (big * W) + row * W + col
             segs = B * big * W + 1
-            stats_i = zbuffer_stats(
-                keys.reshape(-1), jnp.broadcast_to(new_depth, (B, C)).reshape(-1),
+            # ONE widened min pass carrying both payloads (intensity + id)
+            # instead of round 1's two zbuffer_stats calls
+            stats = zbuffer_min2(
+                keys.reshape(-1), new_depth.reshape(-1),
                 jnp.broadcast_to(ci[None], (B, C)).reshape(-1),
-                valid.reshape(-1), segs,
-            )
-            stats_id = zbuffer_stats(
-                keys.reshape(-1), jnp.broadcast_to(new_depth, (B, C)).reshape(-1),
                 jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)).reshape(-1),
                 valid.reshape(-1), segs,
             )
@@ -214,9 +228,9 @@ def simultaneous_second_method_sample(
             def img(v):
                 return v[: B * big * W].reshape(B, big, W)
 
-            depth_img = img(stats_i.min_value)
-            int_img = img(stats_i.min_payload)
-            id_img = img(stats_id.min_payload)
+            depth_img = img(stats.min_value)
+            int_img = img(stats.min_payload1)
+            id_img = img(stats.min_payload2)
 
             # crop + opposite-pixel fill; depth NOT negated here (:1045)
             d = crop_big_with_negatives(depth_img, is_neg, grid, negate_value=False)

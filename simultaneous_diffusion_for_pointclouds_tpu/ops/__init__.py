@@ -7,7 +7,7 @@ from .geometry import (
     signed_log_decompress,
     MAX_RANGE,
 )
-from .scatter import zbuffer_stats, ZBufferStats
+from .scatter import zbuffer_min2, zbuffer_stats, ZBufferMin2, ZBufferStats
 
 __all__ = [
     "RangeGrid",
@@ -17,6 +17,8 @@ __all__ = [
     "log_decompress",
     "signed_log_decompress",
     "MAX_RANGE",
+    "zbuffer_min2",
     "zbuffer_stats",
+    "ZBufferMin2",
     "ZBufferStats",
 ]

@@ -221,6 +221,125 @@ def zbuffer_stats_sorted_v3(
     )
 
 
+class ZBufferMin2(NamedTuple):
+    """Min-depth winner per segment with two payload channels."""
+
+    min_value: jnp.ndarray
+    min_payload1: jnp.ndarray
+    min_payload2: jnp.ndarray
+
+
+def zbuffer_min2(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload1: jnp.ndarray,
+    payload2: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_segments: int,
+) -> ZBufferMin2:
+    """Min-only z-buffer with TWO payloads in one pass.
+
+    The second-method sampler needs, per pixel, the min-depth point's depth,
+    intensity AND id (reference models/__init__.py:869-1067).  Round 1 ran
+    ``zbuffer_stats`` twice (intensity then id payload) — ~4 scatter-class
+    ops.  Here: one (key, value-bits) sort carrying both payloads — the
+    segment's FIRST row after the sort IS the winner, so no scans are needed
+    at all — then a 2-operand compaction sort and three small gathers +
+    scatters.  Exact; empty segments are 0.  Callers must not key valid
+    entries to ``num_segments - 1`` (the trash bin).
+    """
+    e = keys.shape[0]
+    trash = num_segments - 1
+    k = jnp.where(valid, keys, trash).astype(jnp.int32)
+    vbits = _order_bits(jnp.where(valid, value, _BIG).astype(jnp.float32))
+    sk, s_vbits, sp1, sp2 = jax.lax.sort(
+        (k, vbits, payload1.astype(jnp.float32), payload2.astype(jnp.float32)),
+        num_keys=2,
+    )
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+
+    big_key = jnp.int32(jnp.iinfo(jnp.int32).max)
+    okey = jnp.where(start & (sk != trash), sk, big_key)
+    pos = jnp.arange(e, dtype=jnp.int32)
+    cokey, cpos = jax.lax.sort((okey, pos), num_keys=1)
+    n = min(num_segments, e)
+    cokey, cpos = cokey[:n], cpos[:n]
+    idx = jnp.where(cokey < num_segments, cokey, num_segments)
+
+    def densify(col):
+        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
+            col[cpos], mode="drop", unique_indices=True
+        )
+
+    return ZBufferMin2(
+        densify(_bits_to_float(s_vbits)), densify(sp1), densify(sp2)
+    )
+
+
+def zbuffer_stats_sorted_v4(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_segments: int,
+) -> ZBufferStats:
+    """v2 structure with the two profiled hotspots fixed
+    (tools/profile_merge.py: sort1 15 ms / scans 6.6 ms / sort2 24 ms of a
+    49 ms merge at E=4.2M):
+
+    - sort1 drops the ``validf`` operand (4 -> 3): validity is recomputed
+      after the sort as ``sorted_key != trash`` since only invalid entries
+      are routed to the trash bin (callers must not key valid entries to
+      ``num_segments - 1`` — consistency.py guarantees this).
+    - the compaction sort carries (packed end-flag key, position) — 2
+      operands instead of 7 — and the five scanned stats are gathered at
+      the compacted end positions (monotone indices).
+
+    Results are identical to :func:`zbuffer_stats` on live segments.
+    """
+    e = keys.shape[0]
+    trash = num_segments - 1
+    k = jnp.where(valid, keys, trash).astype(jnp.int32)
+    vbits = _order_bits(jnp.where(valid, value, _BIG).astype(jnp.float32))
+
+    sk, s_vbits, sp = jax.lax.sort((k, vbits, payload.astype(jnp.float32)), num_keys=2)
+    sv = (sk != trash).astype(jnp.float32)
+    d = _bits_to_float(s_vbits) * sv
+    sp = sp * sv
+
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones(1, bool)])
+
+    sums, firsts = _segmented_scan(
+        jnp.stack([d, sp, sv], axis=1),
+        jnp.stack([d, sp], axis=1),  # segment-first = min, thanks to the sort
+        start,
+    )
+
+    # compact END rows to the front with a 2-operand sort, then gather
+    big_key = jnp.int32(jnp.iinfo(jnp.int32).max)
+    okey = jnp.where(end, sk, big_key)
+    pos = jnp.arange(e, dtype=jnp.int32)
+    cokey, cpos = jax.lax.sort((okey, pos), num_keys=1)
+    n = min(num_segments, e)
+    cokey, cpos = cokey[:n], cpos[:n]
+
+    idx = jnp.where(cokey < num_segments, cokey, num_segments)
+
+    def densify(col):
+        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
+            col[cpos], mode="drop", unique_indices=True
+        )
+
+    return ZBufferStats(
+        densify(sums[:, 0]),
+        densify(sums[:, 1]),
+        densify(sums[:, 2]),
+        densify(firsts[:, 0]),
+        densify(firsts[:, 1]),
+    )
+
+
 def zbuffer_stats_sorted(
     keys: jnp.ndarray,
     value: jnp.ndarray,

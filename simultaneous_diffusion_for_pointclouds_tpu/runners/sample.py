@@ -156,11 +156,11 @@ class SimultaneousSamplingRunner:
             grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting
         )
 
-        def run(params, rng, x, refer, mask, indices, origins):
+        def run(params, rng, x, refer, mask, indices, origins, raw_origins):
             return simultaneous_second_method_sample(
                 rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
                 refer_image=refer, refer_mask=mask, refer_indices=indices,
-                origins=origins, grad_ref=self.grad_ref,
+                origins=origins, raw_origins=raw_origins, grad_ref=self.grad_ref,
             )
 
         return jax.jit(run)
@@ -357,6 +357,10 @@ class SimultaneousSamplingRunner:
                             )
                         ),
                         jnp.tile(origins[:keep], (self.groups, 1)),
+                        jnp.tile(
+                            jnp.asarray(raw_origins, jnp.float32)[:keep],
+                            (self.groups, 1),
+                        ),
                     )
                     n_out = self.groups * keep
                 elif kind == "baseline":

@@ -61,9 +61,10 @@ def test_sorted_zbuffer_matches_segment_ops_fuzz():
     from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
         zbuffer_stats_sorted,
         zbuffer_stats_sorted_v3,
+        zbuffer_stats_sorted_v4,
     )
 
-    for impl in (zbuffer_stats_sorted, zbuffer_stats_sorted_v3):
+    for impl in (zbuffer_stats_sorted, zbuffer_stats_sorted_v3, zbuffer_stats_sorted_v4):
         for seed in range(3):
             rng = np.random.default_rng(seed)
             n, segs = 4000, 97
@@ -81,6 +82,33 @@ def test_sorted_zbuffer_matches_segment_ops_fuzz():
                 np.testing.assert_allclose(
                     x, y, rtol=1e-5, atol=1e-4, err_msg=f"{impl.__name__} {name}"
                 )
+
+
+def test_zbuffer_min2_matches_two_stats_calls():
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import zbuffer_min2
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed + 100)
+        n, segs = 4000, 97
+        keys = rng.integers(0, segs - 1, n).astype(np.int32)
+        value = rng.uniform(0, 10, n).astype(np.float32)
+        p1 = rng.normal(size=n).astype(np.float32)
+        p2 = rng.integers(0, 999, n).astype(np.float32)
+        valid = rng.uniform(size=n) > 0.4
+
+        a1 = zbuffer_stats(keys, value, p1, valid, segs)
+        a2 = zbuffer_stats(keys, value, p2, valid, segs)
+        b = zbuffer_min2(keys, value, p1, p2, valid, segs)
+        live = slice(0, segs - 1)
+        np.testing.assert_allclose(
+            np.asarray(b.min_value)[live], np.asarray(a1.min_value)[live], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.min_payload1)[live], np.asarray(a1.min_payload)[live], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.min_payload2)[live], np.asarray(a2.min_payload)[live], rtol=1e-6
+        )
 
 
 def test_sorted_zbuffer_v3_more_elements_than_segments():

@@ -1,0 +1,69 @@
+"""Full-merge marginal cost with selectable z-buffer implementation.
+
+python tools/profile_merge_v3.py [views] [impl...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from simultaneous_diffusion_for_pointclouds_tpu.diffusion import consistency
+from simultaneous_diffusion_for_pointclouds_tpu.ops import scatter
+from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import kitti_sampler_grid
+
+
+def marginal(make_chain, args, n1=1, n2=3):
+    f1 = jax.jit(make_chain(n1))
+    f2 = jax.jit(make_chain(n2))
+
+    def timeit(f):
+        jax.block_until_ready(f(*args))
+        t = time.perf_counter()
+        for _ in range(3):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t) / 3
+
+    return (timeit(f2) - timeit(f1)) / (n2 - n1)
+
+
+def main(views=8, impls=("zbuffer_stats_sorted", "zbuffer_stats_sorted_v3")):
+    h, w = 64, 1024
+    grid = kitti_sampler_grid(h, w)
+    A = B = views
+    cfg = consistency.ConsistencyConfig(
+        grid=grid, actual_batch_size=A, setting=5, variant="offsets"
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (B, 2, h, w)), jnp.float32)
+    sky = jnp.ones((B, 1, h, w), jnp.float32)
+    exist = jnp.ones((B, h, w), jnp.float32)
+    origins = jnp.asarray(rng.uniform(-10, 10, (A, 3)), jnp.float32)
+
+    def merge_chain(n):
+        def f(x):
+            for _ in range(n):
+                ni, mi, th = consistency.shared_view_images(
+                    x, sky, exist, cfg, 1.0, origins=origins
+                )
+                x = x + 1e-6 * ni + 1e-9 * mi
+            return x
+        return f
+
+    for name in impls:
+        consistency.zbuffer_stats = getattr(scatter, name)
+        ms = marginal(merge_chain, (x,)) * 1e3
+        print(f"merge with {name:28s}: {ms:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    v = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    impls = sys.argv[2:] or ("zbuffer_stats_sorted", "zbuffer_stats_sorted_v3")
+    main(v, impls)
