@@ -48,7 +48,10 @@ from ..ops.geometry import (
     signed_log_decompress,
     unproject,
 )
-from ..ops.scatter import zbuffer_stats_sorted as zbuffer_stats
+from ..ops.scatter import (
+    zbuffer_stats_sorted as zbuffer_stats,
+    zbuffer_stats_sorted_batched,
+)
 
 
 def effective_origins(modifications: np.ndarray) -> np.ndarray:
@@ -79,6 +82,11 @@ class ConsistencyConfig:
     # ~G-fold lower peak HBM for the merge, enabling the reference's
     # 42-image batch on a 16 GB chip at a small wall-clock cost
     sequential_groups: bool = False
+    # "sorted_batched" (default): per-target-view row sorts — shallower
+    # bitonic networks and fewer sort operands, 41 vs 49 ms at the 8-view
+    # flagship shape (PERF_NOTES.md); "sorted": one flat z-buffer over
+    # (B*big*W) segments.  Identical results up to fp summation order.
+    merge_impl: str = "sorted_batched"
 
     @property
     def use_src_sky(self) -> bool:
@@ -192,22 +200,36 @@ def shared_view_images(
         valid = valid & (new_depth > min_trust)
 
     # 5. one batched segment reduction over (view, row, col)
-    view_idx = jnp.arange(B, dtype=jnp.int32).reshape(G, A, 1)
-    keys = view_idx * (big * W) + row * W + col
-    num_segments = B * big * W + 1  # +1 trash bin
     src_int = jnp.broadcast_to(cloud_int[:, None, :], (G, A, A * N))
     # Materialise the scatter operands once: without the barrier XLA fuses
     # the whole unproject/reproject chain into EACH of the five scatter
     # operands, recomputing the 4M-point trig per scatter (~70ms/step).
-    keys, new_depth, src_int, valid = jax.lax.optimization_barrier(
-        (
-            keys.reshape(-1),
-            new_depth.reshape(-1).astype(jnp.float32),
-            src_int.reshape(-1).astype(jnp.float32),
-            valid.reshape(-1),
+    if cfg.merge_impl == "sorted_batched":
+        lkeys = row * W + col  # per-target-view local pixel ids
+        lkeys, new_depth, src_int, valid = jax.lax.optimization_barrier(
+            (
+                lkeys.reshape(B, A * N),
+                new_depth.reshape(B, A * N).astype(jnp.float32),
+                src_int.reshape(B, A * N).astype(jnp.float32),
+                valid.reshape(B, A * N),
+            )
         )
-    )
-    stats = zbuffer_stats(keys, new_depth, src_int, valid, num_segments)
+        stats = zbuffer_stats_sorted_batched(
+            lkeys, new_depth, src_int, valid, big * W + 1
+        )
+    else:
+        view_idx = jnp.arange(B, dtype=jnp.int32).reshape(G, A, 1)
+        keys = view_idx * (big * W) + row * W + col
+        num_segments = B * big * W + 1  # +1 trash bin
+        keys, new_depth, src_int, valid = jax.lax.optimization_barrier(
+            (
+                keys.reshape(-1),
+                new_depth.reshape(-1).astype(jnp.float32),
+                src_int.reshape(-1).astype(jnp.float32),
+                valid.reshape(-1),
+            )
+        )
+        stats = zbuffer_stats(keys, new_depth, src_int, valid, num_segments)
 
     def img(v):
         return v[: B * big * W].reshape(B, big, W)

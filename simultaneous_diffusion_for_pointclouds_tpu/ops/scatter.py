@@ -221,6 +221,95 @@ def zbuffer_stats_sorted_v3(
     )
 
 
+def _segmented_scan_2d(add_vals, first_vals, start):
+    """Row-batched segmented inclusive scans along axis 1.
+
+    ``add_vals`` (B, M, Ca) accumulate within segments; ``first_vals``
+    (B, M, Cf) propagate each segment's first element; ``start`` (B, M)."""
+    m = add_vals.shape[1]
+    flag = start
+    shift = 1
+    while shift < m:
+        pad_a = jnp.zeros_like(add_vals[:, :shift])
+        prev_a = jnp.concatenate([pad_a, add_vals[:, :-shift]], axis=1)
+        pad_f = jnp.zeros_like(first_vals[:, :shift])
+        prev_f = jnp.concatenate([pad_f, first_vals[:, :-shift]], axis=1)
+        prev_flag = jnp.concatenate(
+            [jnp.ones_like(flag[:, :shift]), flag[:, :-shift]], axis=1
+        )
+        keep = flag[..., None]
+        add_vals = add_vals + jnp.where(keep, 0.0, prev_a)
+        first_vals = jnp.where(keep, first_vals, prev_f)
+        flag = flag | prev_flag
+        shift *= 2
+    return add_vals, first_vals
+
+
+def zbuffer_stats_sorted_batched(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_segments: int,
+) -> ZBufferStats:
+    """Row-batched sorted z-buffer: same results as flattening each row of
+    ``keys + r * row_segments`` through :func:`zbuffer_stats`, but every sort
+    runs per row along the last axis — log2(M) instead of log2(B*M) bitonic
+    depth — and sort1 drops the validity operand (recomputed from the trash
+    key after sorting).
+
+    Args:
+      keys: int32 (B, M) row-LOCAL segment ids in [0, row_segments-1);
+        ``row_segments - 1`` is the per-row trash bin.
+      value/payload/valid: (B, M).
+      row_segments: static per-row segment count (incl. trash).
+
+    Returns flat ZBufferStats over ``B * (row_segments - 1) + 1`` segments:
+    live segment ``r * (row_segments-1) + k``; one shared trailing trash row.
+    """
+    b, m = keys.shape
+    live = row_segments - 1
+    k = jnp.where(valid, keys, live).astype(jnp.int32)
+    vbits = _order_bits(jnp.where(valid, value, _BIG).astype(jnp.float32))
+
+    sk, s_vbits, sp = jax.lax.sort((k, vbits, payload.astype(jnp.float32)), num_keys=2)
+    sv = (sk != live).astype(jnp.float32)
+    d = _bits_to_float(s_vbits) * sv
+    sp = sp * sv
+
+    change = sk[:, 1:] != sk[:, :-1]
+    start = jnp.concatenate([jnp.ones((b, 1), bool), change], axis=1)
+    end = jnp.concatenate([change, jnp.ones((b, 1), bool)], axis=1)
+
+    sums, firsts = _segmented_scan_2d(
+        jnp.stack([d, sp, sv], axis=-1),
+        jnp.stack([d, sp], axis=-1),
+        start,
+    )
+
+    # compaction sort: end flag packed into the key (6 operands, 1 key)
+    big_key = jnp.int32(jnp.iinfo(jnp.int32).max)
+    okey = jnp.where(end & (sk != live), sk, big_key)
+    n = min(row_segments, m)
+    co, c0, c1, c2, c3, c4 = jax.lax.sort(
+        (okey, sums[..., 0], sums[..., 1], sums[..., 2], firsts[..., 0], firsts[..., 1]),
+        num_keys=1,
+    )
+    co = co[:, :n]
+    num_segments = b * live + 1
+    row_off = jnp.arange(b, dtype=jnp.int32)[:, None] * live
+    idx = jnp.where(co < live, co + row_off, num_segments).reshape(-1)
+
+    def densify(col):
+        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
+            col[:, :n].reshape(-1), mode="drop", unique_indices=True
+        )
+
+    return ZBufferStats(
+        densify(c0), densify(c1), densify(c2), densify(c3), densify(c4)
+    )
+
+
 class ZBufferMin2(NamedTuple):
     """Min-depth winner per segment with two payload channels."""
 

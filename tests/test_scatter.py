@@ -84,6 +84,31 @@ def test_sorted_zbuffer_matches_segment_ops_fuzz():
                 )
 
 
+def test_batched_sorted_zbuffer_matches_flat():
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_stats_sorted_batched,
+    )
+
+    rng = np.random.default_rng(2)
+    b, m, row_segs = 3, 500, 33
+    keys = rng.integers(0, row_segs - 1, (b, m)).astype(np.int32)
+    value = rng.uniform(0, 10, (b, m)).astype(np.float32)
+    payload = rng.normal(size=(b, m)).astype(np.float32)
+    valid = rng.uniform(size=(b, m)) > 0.4
+
+    got = zbuffer_stats_sorted_batched(keys, value, payload, valid, row_segs)
+    live = row_segs - 1
+    # oracle: per-row flat zbuffer_stats
+    for r in range(b):
+        ref = zbuffer_stats(keys[r], value[r], payload[r], valid[r], row_segs)
+        for name in ref._fields:
+            x = np.asarray(getattr(ref, name))[:live]
+            y = np.asarray(getattr(got, name))[r * live:(r + 1) * live]
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-4,
+                                       err_msg=f"row {r} {name}")
+    assert got.sum_value.shape == (b * live + 1,)
+
+
 def test_zbuffer_min2_matches_two_stats_calls():
     from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import zbuffer_min2
 

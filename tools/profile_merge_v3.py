@@ -58,8 +58,23 @@ def main(views=8, impls=("zbuffer_stats_sorted", "zbuffer_stats_sorted_v3")):
         return f
 
     for name in impls:
-        consistency.zbuffer_stats = getattr(scatter, name)
-        ms = marginal(merge_chain, (x,)) * 1e3
+        if name == "sorted_batched":
+            globals()["cfg_cur"] = None
+            import dataclasses as _dc
+            cfg2 = _dc.replace(cfg, merge_impl="sorted_batched")
+            def merge_chain2(n, cfg2=cfg2):
+                def f(x):
+                    for _ in range(n):
+                        ni, mi, th = consistency.shared_view_images(
+                            x, sky, exist, cfg2, 1.0, origins=origins
+                        )
+                        x = x + 1e-6 * ni + 1e-9 * mi
+                    return x
+                return f
+            ms = marginal(merge_chain2, (x,)) * 1e3
+        else:
+            consistency.zbuffer_stats = getattr(scatter, name)
+            ms = marginal(merge_chain, (x,)) * 1e3
         print(f"merge with {name:28s}: {ms:8.2f} ms", flush=True)
 
 
