@@ -1,4 +1,4 @@
-from .train import CurriculumTrainer, BaseTrainer
+from .train import CurriculumTrainer, BaseTrainer, ThreeDNoiseTrainer
 from .sample import SimultaneousSamplingRunner
 
 from ..config import cfg_get
@@ -34,12 +34,15 @@ def trainer_for(args, config):
         return BaseTrainer(args, config)
     if algo == "curriculum":
         return CurriculumTrainer(args, config)
+    if algo == "simultaneous_3d":
+        return ThreeDNoiseTrainer(args, config)
     raise NotImplementedError(f"training.algo {algo!r} not supported")
 
 
 __all__ = [
     "CurriculumTrainer",
     "BaseTrainer",
+    "ThreeDNoiseTrainer",
     "SimultaneousSamplingRunner",
     "trainer_for",
     "PLAIN_DATASETS",

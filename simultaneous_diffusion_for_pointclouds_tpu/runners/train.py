@@ -331,6 +331,144 @@ class CurriculumTrainer:
         return results
 
 
+class ThreeDNoiseTrainer(CurriculumTrainer):
+    """Shared-cloud 3D-noise training curriculum — the debugged TPU
+    re-design of the reference's experimental (bugged, undispatched)
+    ``NCSNRunnerSimultaneous.train`` (ncsn_runner_simultaneous.py:73-560).
+    Select with ``training.algo: simultaneous_3d``.  See
+    diffusion/cloud_training.py for the per-step semantics."""
+
+    def __init__(self, args, config):
+        super().__init__(args, config)
+        from ..diffusion.cloud_training import TRAINER_MODIFICATIONS, TrainerGrid
+
+        h = cfg_get(config, "data.image_size")
+        w = cfg_get(config, "data.image_width")
+        self.grid3d = TrainerGrid(h, w)
+        views = cfg_get(config, "training.batch_size", 8)
+        mods = np.asarray(
+            cfg_get(config, "data.modifications", None) or TRAINER_MODIFICATIONS
+        , np.float32)
+        if mods.shape[0] < views:
+            reps = -(-views // mods.shape[0])
+            mods = np.tile(mods, (reps, 1))
+        self.mods3d = jnp.asarray(mods[:views], jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train3d_step(self, state, rng, x, mask, carry, timestep):
+        from ..diffusion.cloud_training import (
+            advance_prior_cloud,
+            three_d_training_images,
+        )
+
+        # origins are scaled by sigma[0] every step (:198 originList =
+        # originListOG * sigmas[0])
+        origins = self.mods3d * self.sigmas[0]
+        img_rng, _ = jax.random.split(rng)
+        images, dsm_noise, loss_mask, slot_img, fwd = three_d_training_images(
+            img_rng, x, mask, carry, timestep, self.sigmas, self.grid3d, origins
+        )
+        labels = jnp.full((x.shape[0],), timestep, jnp.int32)
+
+        def loss_fn(params):
+            def score_fn(inp, lbl):
+                return self.model.apply({"params": params}, inp, lbl)
+
+            return anneal_dsm_score_estimation_with_mask(
+                score_fn, images, labels, self.sigmas, dsm_noise, loss_mask,
+                self.anneal_power,
+            )
+
+        (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt_state = self.optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        ema_params = (
+            ema_update(state["ema_params"], params, self.ema_rate)
+            if self.use_ema
+            else state["ema_params"]
+        )
+        carry = advance_prior_cloud(
+            jax.lax.stop_gradient(scores), images, loss_mask, slot_img, fwd,
+            carry, self.grid3d, origins,
+        )
+        new_state = {"params": params, "opt_state": opt_state, "ema_params": ema_params}
+        return new_state, carry, loss
+
+    def train(self, max_steps: Optional[int] = None):
+        from ..diffusion.cloud_training import init_cloud_carry
+
+        cfg = self.config
+        train_ds, test_ds = get_dataset(self.args, cfg)
+        views = cfg_get(cfg, "training.batch_size", 8)
+        scenes = len(train_ds) // views
+        loader = BatchLoader(
+            train_ds,
+            batch_size=views,
+            sampler=SceneBlockSampler(scenes, views, shuffle=True),
+            num_workers=cfg_get(cfg, "data.num_workers", 4),
+        )
+        rng = jax.random.PRNGKey(getattr(self.args, "seed", 1234))
+        h = cfg_get(cfg, "data.image_size")
+        w = cfg_get(cfg, "data.image_width")
+        c = cfg_get(cfg, "data.channels", 2)
+        state = self.init_state(rng, jnp.zeros((views, c, h, w), jnp.float32))
+        log_path = getattr(self.args, "log_path", None)
+        metrics = MetricsLogger(log_path)
+        n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
+        snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 5000)
+        max_reachable = 1
+        step = true_step = 0
+        origins = self.mods3d * self.sigmas[0]
+
+        for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
+            for batch_np in loader:
+                step += 1
+                x = jnp.asarray(batch_np["real"])
+                mask = jnp.asarray(batch_np["known"])
+                # joint random column roll of all views (:209-214)
+                roll = int(np.random.randint(w))
+                x = jnp.roll(x, roll, axis=-1)
+                mask = jnp.roll(mask, roll, axis=-1)
+                rng, init_rng = jax.random.split(rng)
+                carry = init_cloud_carry(
+                    init_rng, x, mask, self.grid3d, origins, self.sigmas[0]
+                )
+                for timestep in range(max_reachable):
+                    true_step += 1
+                    rng, step_rng = jax.random.split(rng)
+                    state, carry, loss = self.train3d_step(
+                        state, step_rng, x, mask, carry, timestep
+                    )
+                    if true_step % 10 == 0:
+                        metrics.scalar("loss", loss, true_step)
+                        logging.info(
+                            "step: %d, timestep: %d, loss: %.5f",
+                            step, timestep, float(loss),
+                        )
+                    if true_step % 20 == 0 and max_reachable < len(self.sigmas):
+                        max_reachable += 1
+                    if log_path and true_step % snapshot_freq == 0:
+                        save_checkpoint(log_path, state, step)
+                    if step >= n_iters and timestep == max_reachable - 1:
+                        if log_path:
+                            save_checkpoint(log_path, state, step)
+                        metrics.close()
+                        return state
+                if step >= n_iters:
+                    if log_path:
+                        save_checkpoint(log_path, state, step)
+                    metrics.close()
+                    return state
+        if log_path:
+            save_checkpoint(log_path, state, step)
+        metrics.close()
+        return state
+
+
 class BaseTrainer(CurriculumTrainer):
     """Plain LiDARGen training: random-sigma DSM on full images, EMA test
     loss every 100 steps, ``snapshot_freq`` checkpoints and optional sample

@@ -35,6 +35,28 @@ def test_cli_train_plain_base_micro(tmp_path):
     assert '"test_loss"' in metrics and '"loss"' in metrics
 
 
+def test_cli_train_3d_micro(tmp_path):
+    """3D-noise shared-cloud curriculum end-to-end via the CLI
+    (training.algo: simultaneous_3d)."""
+    env = dict(os.environ)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['main.py','--ni','--config','micro_3d.yml',"
+        f"'--exp',{str(tmp_path)!r},'--doc','t'];"
+        "import runpy; runpy.run_path('main.py', run_name='__main__')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=580,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = os.path.join(tmp_path, "logs", "t")
+    assert os.path.isdir(os.path.join(log, "ckpt"))
+    metrics = os.path.join(log, "metrics.jsonl")
+    stdout = open(os.path.join(log, "stdout.txt")).read()
+    assert "loss" in stdout
+
+
 def test_trainer_dispatch():
     from simultaneous_diffusion_for_pointclouds_tpu.runners import (
         BaseTrainer,
