@@ -11,7 +11,13 @@ sort/unique/scatter per Langevin step).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
 value = fused Langevin steps/sec/chip and vs_baseline = fused/serialized
-speedup.
+speedup.  Extra keys report the 21-image (3 scenes x 7 views) shape from
+BASELINE.md's north-star and the estimated wall-clock for a full
+232-level x 5-step scan set at that shape.
+
+The baseline is the reference's LAUNCH STRUCTURE re-enacted on the SAME
+chip (per-dispatch host loop, serialized per-view merges) — NOT a measured
+CUDA number; no cross-hardware claim is made (see README).
 """
 
 from __future__ import annotations
@@ -186,16 +192,55 @@ def main():
         serialized_once(1)
         return time.perf_counter() - t
 
+    # ------------- 21-image (3 scenes x 7 views) north-star shape ------
+    def time_21():
+        g, a = 3, 7
+        b21 = g * a
+        x21 = jax.random.uniform(rng, (b21, 2, H, W), jnp.float32)
+        mask21 = (
+            jax.random.uniform(jax.random.PRNGKey(2), (b21, 2, H, W)) > 0.5
+        ).astype(jnp.float32)
+        sky21 = jnp.ones((b21, 1, H, W), jnp.float32)
+        exist21 = jnp.ones((b21, H, W), jnp.float32)
+        eye21 = jnp.tile(jnp.eye(4)[None], (b21, 1, 1)).astype(jnp.float32)
+        ccfg21 = ConsistencyConfig(
+            grid=grid, actual_batch_size=a, setting=5, variant="poses"
+        )
+
+        @jax.jit
+        def fused21(r, x):
+            return simultaneous_inpainting_sample(
+                r, x, score_fn, sigmas, lcfg, ccfg21,
+                refer_image=x21, refer_mask=mask21, sky=sky21, exist_mask=exist21,
+                min_step_to_share=0, grad_ref=1.0, correlation_coefficient=0.01,
+                to_world=eye21, from_world=eye21,
+            )
+
+        jax.block_until_ready(fused21(rng, x21))
+        times = []
+        for i in range(3):
+            t = time.perf_counter()
+            jax.block_until_ready(fused21(jax.random.PRNGKey(i), x21))
+            times.append(time.perf_counter() - t)
+        return min(times)
+
     fused_t = time_fused()
     serial_t = time_serialized()
+    t21 = time_21()
     total_steps = LEVELS * N_STEPS
     value = total_steps / fused_t
     baseline = total_steps / serial_t
+    sps21 = total_steps / t21
+    full_ladder_steps = 232 * N_STEPS + 1  # incl. final denoise forward
     print(json.dumps({
         "metric": "langevin_steps_per_sec_per_chip_8view_2x64x1024",
         "value": round(value, 3),
         "unit": "steps/s",
         "vs_baseline": round(value / baseline, 3),
+        "steps_per_sec_21img_3x7": round(sps21, 3),
+        "img_steps_per_sec_21img_3x7": round(sps21 * 21, 1),
+        "est_sec_per_scan_set_21img_full_ladder": round(full_ladder_steps / sps21, 1),
+        "baseline_note": "same-chip reference-launch-structure re-enactment; not a CUDA measurement",
     }))
     return 0
 

@@ -16,14 +16,31 @@ import numpy as np
 DEFAULT_DRIVE = "2013_05_28_drive_0000_sync"
 
 
+def _loadtxt_calib(path: str, row0: bool = False) -> np.ndarray:
+    """Load a KITTI-360 calibration file as a (3, 4) matrix.
+
+    The real KITTI-360 distribution prefixes ``calib_cam_to_pose.txt`` rows
+    with camera names (``image_00: ...``); the reference's dataset loader
+    assumes a stripped copy (kitti360_im_8Batch.py:53) while its
+    ``lidar_utils.load_matrices`` (lidar_utils.py:18-20) skips the label with
+    ``usecols``.  Accept both layouts.
+    """
+    try:
+        vals = np.loadtxt(path)
+    except ValueError:
+        vals = np.loadtxt(path, usecols=tuple(range(1, 13)))
+    vals = np.atleast_2d(vals)[0] if row0 or vals.ndim > 1 else vals
+    return np.reshape(vals, [3, 4])
+
+
 def load_velo_to_pose(root: str) -> np.ndarray:
-    velo_to_cam = np.loadtxt(os.path.join(root, "calibration/calib_cam_to_velo.txt"))
-    velo_to_cam = np.reshape(velo_to_cam, [3, 4])
+    velo_to_cam = _loadtxt_calib(os.path.join(root, "calibration/calib_cam_to_velo.txt"))
     velo_to_cam = np.concatenate((velo_to_cam, np.array([[0.0, 0.0, 0.0, 1.0]])))
     velo_to_cam = np.linalg.inv(velo_to_cam)
 
-    cam_to_pose = np.loadtxt(os.path.join(root, "calibration/calib_cam_to_pose.txt"))[0]
-    cam_to_pose = np.reshape(cam_to_pose, [3, 4])
+    cam_to_pose = _loadtxt_calib(
+        os.path.join(root, "calibration/calib_cam_to_pose.txt"), row0=True
+    )
     cam_to_pose = np.concatenate((cam_to_pose, np.array([[0.0, 0.0, 0.0, 1.0]])))
 
     return np.matmul(cam_to_pose, velo_to_cam)

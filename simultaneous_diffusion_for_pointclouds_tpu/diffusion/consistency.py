@@ -51,6 +51,7 @@ from ..ops.geometry import (
 from ..ops.scatter import (
     zbuffer_stats_sorted as zbuffer_stats,
     zbuffer_stats_sorted_batched,
+    zbuffer_stats_sorted_batched_gather,
 )
 
 
@@ -204,7 +205,7 @@ def shared_view_images(
     # Materialise the scatter operands once: without the barrier XLA fuses
     # the whole unproject/reproject chain into EACH of the five scatter
     # operands, recomputing the 4M-point trig per scatter (~70ms/step).
-    if cfg.merge_impl == "sorted_batched":
+    if cfg.merge_impl in ("sorted_batched", "sorted_batched_gather"):
         lkeys = row * W + col  # per-target-view local pixel ids
         lkeys, new_depth, src_int, valid = jax.lax.optimization_barrier(
             (
@@ -214,9 +215,12 @@ def shared_view_images(
                 valid.reshape(B, A * N),
             )
         )
-        stats = zbuffer_stats_sorted_batched(
-            lkeys, new_depth, src_int, valid, big * W + 1
+        impl = (
+            zbuffer_stats_sorted_batched
+            if cfg.merge_impl == "sorted_batched"
+            else zbuffer_stats_sorted_batched_gather
         )
+        stats = impl(lkeys, new_depth, src_int, valid, big * W + 1)
     else:
         view_idx = jnp.arange(B, dtype=jnp.int32).reshape(G, A, 1)
         keys = view_idx * (big * W) + row * W + col

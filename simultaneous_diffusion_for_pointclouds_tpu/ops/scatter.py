@@ -245,6 +245,39 @@ def _segmented_scan_2d(add_vals, first_vals, start):
     return add_vals, first_vals
 
 
+def _segmented_scan_2d_multi(add_vals, first_vals, start):
+    """Row-batched segmented inclusive scans over SEPARATE (B, M) arrays.
+
+    Identical math to :func:`_segmented_scan_2d` on channel-stacked inputs,
+    but each channel stays a full (B, M) array: a (B, M, C) stack puts C in
+    the 128-lane minor dimension, wasting 128/C of every vector op.
+
+    Deliberately Hillis–Steele (full-width masked-shift passes), NOT
+    ``lax.associative_scan``: the Blelloch recursion's stride-2 interleaved
+    slices force lane relayouts on TPU and a (8, 524288) 6-tuple scan never
+    finished compiling/running in 9+ minutes, while these shift passes are
+    plain contiguous vector ops.
+    """
+    m = add_vals[0].shape[1]
+    flag = start
+    shift = 1
+    while shift < m:
+        prev_flag = jnp.concatenate(
+            [jnp.ones_like(flag[:, :shift]), flag[:, :-shift]], axis=1
+        )
+        keep = flag
+
+        def shifted(x):
+            pad = jnp.zeros_like(x[:, :shift])
+            return jnp.concatenate([pad, x[:, :-shift]], axis=1)
+
+        add_vals = [a + jnp.where(keep, 0.0, shifted(a)) for a in add_vals]
+        first_vals = [jnp.where(keep, f, shifted(f)) for f in first_vals]
+        flag = flag | prev_flag
+        shift *= 2
+    return add_vals, first_vals
+
+
 def zbuffer_stats_sorted_batched(
     keys: jnp.ndarray,
     value: jnp.ndarray,
@@ -257,6 +290,11 @@ def zbuffer_stats_sorted_batched(
     runs per row along the last axis — log2(M) instead of log2(B*M) bitonic
     depth — and sort1 drops the validity operand (recomputed from the trash
     key after sorting).
+
+    Stage structure (sort1 | scans | sort2 | scatters) is pinned with
+    ``optimization_barrier``: without it XLA fuses the scan chain into each
+    compaction-sort operand and the composed cost was ~2.5x the sum of the
+    stages (tools/profile_compaction.py).
 
     Args:
       keys: int32 (B, M) row-LOCAL segment ids in [0, row_segments-1);
@@ -273,6 +311,7 @@ def zbuffer_stats_sorted_batched(
     vbits = _order_bits(jnp.where(valid, value, _BIG).astype(jnp.float32))
 
     sk, s_vbits, sp = jax.lax.sort((k, vbits, payload.astype(jnp.float32)), num_keys=2)
+    sk, s_vbits, sp = jax.lax.optimization_barrier((sk, s_vbits, sp))
     sv = (sk != live).astype(jnp.float32)
     d = _bits_to_float(s_vbits) * sv
     sp = sp * sv
@@ -281,32 +320,101 @@ def zbuffer_stats_sorted_batched(
     start = jnp.concatenate([jnp.ones((b, 1), bool), change], axis=1)
     end = jnp.concatenate([change, jnp.ones((b, 1), bool)], axis=1)
 
+    sums, firsts = _segmented_scan_2d_multi([d, sp, sv], [d, sp], start)
+
+    # compaction sort: end flag packed into the key (6 operands, 1 key)
+    big_key = jnp.int32(jnp.iinfo(jnp.int32).max)
+    okey = jnp.where(end & (sk != live), sk, big_key)
+    sort2_in = jax.lax.optimization_barrier(
+        (okey, sums[0], sums[1], sums[2], firsts[0], firsts[1])
+    )
+    n = min(row_segments, m)
+    co, c0, c1, c2, c3, c4 = jax.lax.sort(sort2_in, num_keys=1)
+    co = co[:, :n]
+    num_segments = b * live + 1
+    row_off = jnp.arange(b, dtype=jnp.int32)[:, None] * live
+    idx = jnp.where(co < live, co + row_off, num_segments).reshape(-1)
+    idx, c0, c1, c2, c3, c4 = jax.lax.optimization_barrier(
+        (idx, c0, c1, c2, c3, c4)
+    )
+
+    def densify(col):
+        # per-row trash entries map to the max sentinel, so the flattened
+        # index vector is NOT globally sorted — no indices_are_sorted hint
+        # (and the profiler showed it buys <0.2 ms anyway)
+        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
+            col[:, :n].reshape(-1), mode="drop", unique_indices=True,
+        )
+
+    return ZBufferStats(
+        densify(c0), densify(c1), densify(c2), densify(c3), densify(c4)
+    )
+
+
+def zbuffer_stats_sorted_batched_gather(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_segments: int,
+) -> ZBufferStats:
+    """:func:`zbuffer_stats_sorted_batched` with the compaction sort replaced
+    by a vectorized binary search: every live pixel id is a query into the
+    row-sorted keys (``pos[k]`` = last index with ``sk <= k``), and the five
+    scanned stats are gathered at those positions — log2(M) index-gather
+    rounds + 6 value gathers instead of a 6-operand bitonic sort + 5
+    scatters.  Same results (densify scatters become pure gathers, so empty
+    segments are exactly 0 the same way)."""
+    b, m = keys.shape
+    live = row_segments - 1
+    k = jnp.where(valid, keys, live).astype(jnp.int32)
+    vbits = _order_bits(jnp.where(valid, value, _BIG).astype(jnp.float32))
+
+    sk, s_vbits, sp = jax.lax.sort((k, vbits, payload.astype(jnp.float32)), num_keys=2)
+    sv = (sk != live).astype(jnp.float32)
+    d = _bits_to_float(s_vbits) * sv
+    sp = sp * sv
+
+    change = sk[:, 1:] != sk[:, :-1]
+    start = jnp.concatenate([jnp.ones((b, 1), bool), change], axis=1)
+
     sums, firsts = _segmented_scan_2d(
         jnp.stack([d, sp, sv], axis=-1),
         jnp.stack([d, sp], axis=-1),
         start,
     )
 
-    # compaction sort: end flag packed into the key (6 operands, 1 key)
-    big_key = jnp.int32(jnp.iinfo(jnp.int32).max)
-    okey = jnp.where(end & (sk != live), sk, big_key)
-    n = min(row_segments, m)
-    co, c0, c1, c2, c3, c4 = jax.lax.sort(
-        (okey, sums[..., 0], sums[..., 1], sums[..., 2], firsts[..., 0], firsts[..., 1]),
-        num_keys=1,
-    )
-    co = co[:, :n]
-    num_segments = b * live + 1
-    row_off = jnp.arange(b, dtype=jnp.int32)[:, None] * live
-    idx = jnp.where(co < live, co + row_off, num_segments).reshape(-1)
+    # binary search, all live pixel ids as queries: pos = searchsorted_right-1
+    q = jax.lax.broadcasted_iota(jnp.int32, (b, live), 1)
+    lo = jnp.zeros((b, live), jnp.int32)
+    hi = jnp.full((b, live), m, jnp.int32)
+    rounds = max(1, (m - 1).bit_length())
+    for _ in range(rounds):
+        mid = (lo + hi) >> 1
+        skm = jnp.take_along_axis(sk, jnp.clip(mid, 0, m - 1), axis=1)
+        go_right = skm <= q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    pos = lo - 1  # last index with sk <= q; -1 when the segment is empty
+    cpos = jnp.clip(pos, 0, m - 1)
+    found = (pos >= 0) & (jnp.take_along_axis(sk, cpos, axis=1) == q)
+    foundf = found.astype(jnp.float32)
 
-    def densify(col):
-        return jnp.zeros(num_segments, jnp.float32).at[idx].set(
-            col[:, :n].reshape(-1), mode="drop", unique_indices=True
-        )
+    def img(col):
+        return (jnp.take_along_axis(col, cpos, axis=1) * foundf).reshape(-1)
+
+    num_segments = b * live + 1
+    pad = jnp.zeros(1, jnp.float32)
+
+    def out(col):
+        return jnp.concatenate([img(col), pad])
 
     return ZBufferStats(
-        densify(c0), densify(c1), densify(c2), densify(c3), densify(c4)
+        out(sums[..., 0]),
+        out(sums[..., 1]),
+        out(sums[..., 2]),
+        out(firsts[..., 0]),
+        out(firsts[..., 1]),
     )
 
 

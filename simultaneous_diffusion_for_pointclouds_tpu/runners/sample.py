@@ -430,6 +430,27 @@ class SimultaneousSamplingRunner:
         (0.05, 1.0), (0.05, 0.9), (0.1, 0.9), (0.0, 0.5), (0.1, 0.5), (0.1, 0.25),
     ]
 
+    @functools.lru_cache(maxsize=4)
+    def _jit_grid(self, views: int):
+        """One cached jit for all six grid variants: ``correlation`` and
+        ``grad_ref`` are purely-arithmetic scalars in the sampler, so they
+        are traced arguments — no recompile per variant (the reference's
+        setting-4 schedule reduces to the constant base, langevin.py:178)."""
+        ccfg = ConsistencyConfig(
+            grid=self.grid, actual_batch_size=views, setting=4,
+            variant="offsets",
+        )
+
+        def run(params, rng, x, refer, mask, sky, exist, origins, corr, gref):
+            return simultaneous_inpainting_sample(
+                rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
+                refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
+                min_step_to_share=20, grad_ref=gref,
+                correlation_coefficient=corr, origins=origins,
+            )
+
+        return jax.jit(run)
+
     def hyperparameter_grid_sample(self, max_batches: Optional[int] = 2, ckpt_path=None, seed=0):
         cfg = self.config
         args = self.args
@@ -451,10 +472,7 @@ class SimultaneousSamplingRunner:
         )[: self.views]
         rng = jax.random.PRNGKey(seed)
         results = {}
-        ccfg_base = ConsistencyConfig(
-            grid=self.grid, actual_batch_size=self.views, setting=4,
-            variant="offsets",
-        )
+        sampler = self._jit_grid(self.views)
         for batch_idx, batch_np in enumerate(loader):
             if max_batches is not None and batch_idx >= max_batches:
                 break
@@ -463,19 +481,14 @@ class SimultaneousSamplingRunner:
                 init = jax.random.uniform(
                     srng, (self.batch, self.channels, self.rows, self.cols), jnp.float32
                 )
-                out = jax.jit(
-                    lambda p, r, x, refer, msk, sky_, ex: simultaneous_inpainting_sample(
-                        r, x, self._score_fn(p), self.sigmas, self.lcfg, ccfg_base,
-                        refer_image=refer, refer_mask=msk, sky=sky_, exist_mask=ex,
-                        min_step_to_share=20, grad_ref=gref,
-                        correlation_coefficient=corr, origins=origins,
-                    )
-                )(
+                out = sampler(
                     params, srng, init,
                     jnp.asarray(batch_np["real"], jnp.float32),
                     jnp.asarray(batch_np["known"], jnp.float32),
                     jnp.asarray(batch_np["sky"], jnp.float32),
                     jnp.asarray(exist),
+                    origins,
+                    jnp.float32(corr), jnp.float32(gref),
                 )
                 out = np.asarray(out)
                 np.save(

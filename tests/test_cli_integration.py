@@ -78,6 +78,33 @@ def test_trainer_dispatch():
     assert type(trainer_for(args, cfg)) is BaseTrainer
 
 
+def test_hyperparameter_grid_single_jit(tmp_path):
+    """All six (correlation, gradRef) grid variants run through ONE cached
+    jit — the scalars are traced arguments, not retrace triggers
+    (reference ncsn_runner_basic_simultaneous.py:495-565)."""
+    import argparse
+
+    import yaml
+
+    from simultaneous_diffusion_for_pointclouds_tpu.config import dict2namespace
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    cfg = dict2namespace(
+        yaml.safe_load(open(os.path.join(REPO, "configs", "micro.yml")))
+    )
+    args = argparse.Namespace(seed=0, image_folder=str(tmp_path))
+    runner = SimultaneousSamplingRunner(args, cfg, variant="offsets")
+    assert runner._jit_grid(runner.views) is runner._jit_grid(runner.views)
+    results = runner.hyperparameter_grid_sample(max_batches=1)
+    assert len(results) == len(runner.GRID_VARIANTS)
+    for out in results.values():
+        assert np.isfinite(out).all()
+    outs = glob.glob(os.path.join(tmp_path, "grid*_completion.npy"))
+    assert len(outs) == len(runner.GRID_VARIANTS)
+
+
 def test_cli_sample_micro(tmp_path):
     env = dict(os.environ)
     # main.py runs on the default backend; force CPU inside the subprocess

@@ -74,3 +74,79 @@ def test_batch_loader_scene_batches():
     b = batches[0]
     assert b["real"].shape == (6, 2, 16, 64)
     assert b["to_world"].shape == (6, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Real KITTI-360 directory layout: no real data exists in this environment,
+# so fabricate the reference's on-disk tree (calibration/, data_poses/<drive>/
+# poses.txt, data_3d_raw/<drive>/velodyne_points/data/*.bin — see
+# kitti360_im_8Batch.py:49-68,309-315) and drive the REAL glob/path logic
+# (scan_provider=None) end to end.
+def _fake_kitti360_tree(root, n_frames=12, prefixed_calib=False):
+    import os
+
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "calibration"))
+    drive = "2013_05_28_drive_0000_sync"
+    velo_dir = os.path.join(root, "data_3d_raw", drive, "velodyne_points", "data")
+    pose_dir = os.path.join(root, "data_poses", drive)
+    os.makedirs(velo_dir)
+    os.makedirs(pose_dir)
+
+    cam_to_velo = np.hstack([np.eye(3), np.array([[0.3], [0.1], [-0.2]])])
+    np.savetxt(os.path.join(root, "calibration", "calib_cam_to_velo.txt"),
+               cam_to_velo.reshape(1, 12))
+    cam_to_pose = np.hstack([np.eye(3), np.array([[0.1], [0.0], [0.5]])])
+    calib_path = os.path.join(root, "calibration", "calib_cam_to_pose.txt")
+    rows = [cam_to_pose.reshape(12), (cam_to_pose + 0.01).reshape(12)]
+    if prefixed_calib:
+        # the real KITTI-360 distribution labels each row ("image_00: ...")
+        with open(calib_path, "w") as f:
+            for name, row in zip(["image_00", "image_01"], rows):
+                f.write(name + ": " + " ".join(f"{v:.9f}" for v in row) + "\n")
+    else:
+        np.savetxt(calib_path, np.stack(rows))
+
+    pose_rows = []
+    for i in range(n_frames):
+        mat = np.hstack([np.eye(3), np.array([[2.0 * i], [0.0], [0.0]])])
+        pose_rows.append(np.concatenate([[i + 1], mat.reshape(12)]))
+        scan = rng.randn(500, 4).astype(np.float32)
+        scan[:, :3] *= 10.0
+        scan[:, 3] = rng.rand(500) * 0.9
+        scan.tofile(os.path.join(velo_dir, f"{i:010d}.bin"))
+    np.savetxt(os.path.join(pose_dir, "poses.txt"), np.stack(pose_rows))
+
+
+def _real_layout_config(root, views=2, h=8, w=16):
+    ns = argparse.Namespace
+    return ns(
+        data=ns(dataset="KITTI360_im_8batch", image_size=h, image_width=w,
+                channels=2, random_roll=False, root=str(root),
+                modifications=[[0, 0, 0], [5, -5, 0]]),
+        sampling=ns(actualBatchSize=views),
+    )
+
+
+def test_kitti360_real_layout_roundtrip(tmp_path):
+    from simultaneous_diffusion_for_pointclouds_tpu.data.kitti360 import (
+        KITTI360Im8Batch,
+    )
+
+    for prefixed in (False, True):
+        root = tmp_path / ("prefixed" if prefixed else "stripped")
+        _fake_kitti360_tree(str(root), n_frames=12, prefixed_calib=prefixed)
+        ds = KITTI360Im8Batch(_real_layout_config(root))
+        assert len(ds) == 12 * 2
+        for idx in (0, 1, len(ds) - 1):
+            item = ds[idx]
+            assert item["real"].shape == (2, 8, 16)
+            assert np.isfinite(item["real"]).all()
+            assert item["to_world"].shape == (4, 4)
+            assert np.isfinite(item["to_world"]).all()
+        # both calibration formats must produce identical pose chains
+    from simultaneous_diffusion_for_pointclouds_tpu.data.pose import load_velo_to_pose
+
+    a = load_velo_to_pose(str(tmp_path / "stripped"))
+    b = load_velo_to_pose(str(tmp_path / "prefixed"))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)

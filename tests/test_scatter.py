@@ -157,3 +157,25 @@ def test_sorted_zbuffer_v3_more_elements_than_segments():
             np.asarray(getattr(b, name))[live],
             rtol=1e-5, atol=1e-4, err_msg=name,
         )
+
+
+def test_batched_gather_compaction_matches_batched_sort():
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_stats_sorted_batched,
+        zbuffer_stats_sorted_batched_gather,
+    )
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed + 7)
+        b, m, row_segs = 3, 500, 33
+        keys = rng.integers(0, row_segs - 1, (b, m)).astype(np.int32)
+        value = rng.uniform(0, 10, (b, m)).astype(np.float32)
+        payload = rng.normal(size=(b, m)).astype(np.float32)
+        valid = rng.uniform(size=(b, m)) > 0.4
+        a = zbuffer_stats_sorted_batched(keys, value, payload, valid, row_segs)
+        g = zbuffer_stats_sorted_batched_gather(keys, value, payload, valid, row_segs)
+        for name in a._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(g, name)),
+                rtol=1e-6, atol=1e-6, err_msg=name,
+            )

@@ -58,10 +58,10 @@ def main(views=8, impls=("zbuffer_stats_sorted", "zbuffer_stats_sorted_v3")):
         return f
 
     for name in impls:
-        if name == "sorted_batched":
+        if name.startswith("sorted_batched"):
             globals()["cfg_cur"] = None
             import dataclasses as _dc
-            cfg2 = _dc.replace(cfg, merge_impl="sorted_batched")
+            cfg2 = _dc.replace(cfg, merge_impl=name)
             def merge_chain2(n, cfg2=cfg2):
                 def f(x):
                     for _ in range(n):
