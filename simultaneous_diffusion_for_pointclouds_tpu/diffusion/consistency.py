@@ -44,13 +44,14 @@ from ..ops.geometry import (
     RangeGrid,
     crop_big_with_negatives,
     log_compress,
-    project_bins,
+    project_bins_soa,
     signed_log_decompress,
-    unproject,
+    unproject_soa,
 )
 from ..ops.scatter import (
     zbuffer_stats_sorted as zbuffer_stats,
     zbuffer_stats_sorted_batched,
+    zbuffer_stats_sorted_batched_dense,
     zbuffer_stats_sorted_batched_gather,
 )
 
@@ -155,37 +156,60 @@ def shared_view_images(
     dist_m, is_neg = signed_log_decompress(depth_log, sigma_mod)
     too_high = jnp.max(jnp.abs(depth_log)) * 6.0 / sigma_mod > cfg.too_high_threshold
 
-    # 1. unproject every view to 3D (B, H, W, 3) -> world frame
-    pts = unproject(dist_m, grid)  # view frame
+    # 1. unproject every view to 3D -> world frame.  All geometry runs in
+    # structure-of-arrays form (separate x/y/z planes): a trailing coord dim
+    # of 3 would tile onto the 128-lane minor axis at 3/128 occupancy
+    # whenever XLA materialises it.
+    vx, vy, vz = unproject_soa(dist_m, grid)  # view frame, each (B, H, W)
+    dt = vx.dtype
     if cfg.variant == "offsets":
         assert origins is not None
-        origins = jnp.asarray(origins, pts.dtype)  # (A, 3)
+        origins = jnp.asarray(origins, dt)  # (A, 3)
         org_b = jnp.tile(origins, (G, 1))  # (B, 3)
-        world = pts + org_b[:, None, None, :]
+        wx = vx + org_b[:, 0, None, None]
+        wy = vy + org_b[:, 1, None, None]
+        wz = vz + org_b[:, 2, None, None]
     else:
         assert to_world is not None and from_world is not None
-        rot = to_world[:, :3, :3].astype(pts.dtype)
-        tr = to_world[:, :3, 3].astype(pts.dtype)
-        flat = pts.reshape(B, N, 3)
-        world = (
-            jnp.einsum("bij,bnj->bni", rot, flat) + tr[:, None, :]
-        ).reshape(B, H, W, 3)
+        r = to_world[:, :3, :3].astype(dt)  # (B, 3, 3)
+        t = to_world[:, :3, 3].astype(dt)  # (B, 3)
 
-    # 2. group views into scenes: shared cloud (G, A*N, 3) + intensities
-    cloud = world.reshape(G, A * N, 3)
+        def rowmul(i):
+            return (
+                r[:, i, 0, None, None] * vx
+                + r[:, i, 1, None, None] * vy
+                + r[:, i, 2, None, None] * vz
+                + t[:, i, None, None]
+            )
+
+        wx, wy, wz = rowmul(0), rowmul(1), rowmul(2)
+
+    # 2. group views into scenes: shared cloud planes (G, A*N) + intensities
+    cx = wx.reshape(G, A * N)
+    cy = wy.reshape(G, A * N)
+    cz = wz.reshape(G, A * N)
     cloud_int = intensity.reshape(G, A * N)
 
-    # 3. re-express the cloud in every target view's frame (G, A, A*N, 3)
+    # 3. re-express the cloud in every target view's frame (G, A, A*N)
     if cfg.variant == "offsets":
-        rel = cloud[:, None, :, :] - origins[None, :, None, :]
+        rx = cx[:, None, :] - origins[None, :, 0, None]
+        ry = cy[:, None, :] - origins[None, :, 1, None]
+        rz = cz[:, None, :] - origins[None, :, 2, None]
     else:
-        fw = from_world.reshape(G, A, 4, 4).astype(pts.dtype)
-        rel = jnp.einsum("gvij,gnj->gvni", fw[:, :, :3, :3], cloud) + fw[
-            :, :, :3, 3
-        ][:, :, None, :]
+        fw = from_world.reshape(G, A, 4, 4).astype(dt)
+
+        def relrow(i):
+            return (
+                fw[:, :, i, 0, None] * cx[:, None, :]
+                + fw[:, :, i, 1, None] * cy[:, None, :]
+                + fw[:, :, i, 2, None] * cz[:, None, :]
+                + fw[:, :, i, 3, None]
+            )
+
+        rx, ry, rz = relrow(0), relrow(1), relrow(2)
 
     # 4. bin on the extended vertical grid
-    row, col, depth_m, _ = project_bins(rel, grid)  # (G, A, A*N)
+    row, col, depth_m, _ = project_bins_soa(rx, ry, rz, grid)  # (G, A, A*N)
     new_depth = log_compress(depth_m, sigma_mod)
 
     valid = (col > -1) & (col < W) & (row > -1) & (row < big)
@@ -205,7 +229,9 @@ def shared_view_images(
     # Materialise the scatter operands once: without the barrier XLA fuses
     # the whole unproject/reproject chain into EACH of the five scatter
     # operands, recomputing the 4M-point trig per scatter (~70ms/step).
-    if cfg.merge_impl in ("sorted_batched", "sorted_batched_gather"):
+    if cfg.merge_impl in (
+        "sorted_batched", "sorted_batched_gather", "sorted_batched_dense"
+    ):
         lkeys = row * W + col  # per-target-view local pixel ids
         lkeys, new_depth, src_int, valid = jax.lax.optimization_barrier(
             (
@@ -215,11 +241,11 @@ def shared_view_images(
                 valid.reshape(B, A * N),
             )
         )
-        impl = (
-            zbuffer_stats_sorted_batched
-            if cfg.merge_impl == "sorted_batched"
-            else zbuffer_stats_sorted_batched_gather
-        )
+        impl = {
+            "sorted_batched": zbuffer_stats_sorted_batched,
+            "sorted_batched_gather": zbuffer_stats_sorted_batched_gather,
+            "sorted_batched_dense": zbuffer_stats_sorted_batched_dense,
+        }[cfg.merge_impl]
         stats = impl(lkeys, new_depth, src_int, valid, big * W + 1)
     else:
         view_idx = jnp.arange(B, dtype=jnp.int32).reshape(G, A, 1)

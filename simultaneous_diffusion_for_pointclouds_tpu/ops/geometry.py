@@ -170,6 +170,38 @@ def unproject(depth_m, grid: RangeGrid, origin=None):
     return pts
 
 
+def unproject_soa(depth_m, grid: RangeGrid):
+    """:func:`unproject` in structure-of-arrays form: returns (x, y, z) as
+    three separate (…, H, W) arrays.
+
+    On TPU a trailing coordinate dim of 3 tiles onto the 128-lane minor
+    dimension at 3/128 occupancy whenever XLA materialises it; keeping the
+    coordinates as separate full-width planes sidesteps that entirely.
+    Same math as :func:`unproject`.
+    """
+    az = jnp.asarray(grid.azimuth(), depth_m.dtype)  # (1, W)
+    el = jnp.asarray(grid.elevation(), depth_m.dtype)  # (H, 1)
+    x = depth_m * (jnp.cos(az) * jnp.cos(el))
+    y = depth_m * (jnp.sin(az) * jnp.cos(el))
+    z = depth_m * jnp.sin(el)
+    return x, y, z
+
+
+def project_bins_soa(px, py, pz, grid: RangeGrid):
+    """:func:`project_bins` on separate coordinate planes (see
+    :func:`unproject_soa`). Returns (row, col, depth_m, xy_m)."""
+    xy2 = jnp.square(px) + jnp.square(py)
+    depth = jnp.sqrt(xy2 + jnp.square(pz))
+    xy = jnp.sqrt(xy2)
+    horizontal = jnp.arctan2(py, px)
+    vertical = jnp.arctan2(pz, xy)
+    col = jnp.round((horizontal - grid.h_min) / grid.h_res).astype(jnp.int32)
+    row = jnp.round((vertical - grid.big_v_min) / grid.v_res).astype(jnp.int32)
+    col = -col + grid.cols - 1
+    row = -row + grid.big_rows - 1
+    return row, col, depth, xy
+
+
 def project_bins(points, grid: RangeGrid):
     """Cartesian points (…, 3) -> (row, col, depth_m, xy_m) on the *extended*
     vertical grid, replicating the sampler's bin math exactly
