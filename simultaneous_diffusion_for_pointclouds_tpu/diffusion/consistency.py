@@ -34,6 +34,7 @@ origin quirk                 log-roundtrip/(o+1e-8)   n/a (pose matrices)
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -84,11 +85,23 @@ class ConsistencyConfig:
     # ~G-fold lower peak HBM for the merge, enabling the reference's
     # 42-image batch on a 16 GB chip at a small wall-clock cost
     sequential_groups: bool = False
-    # "sorted_batched" (default): per-target-view row sorts — shallower
-    # bitonic networks and fewer sort operands, 41 vs 49 ms at the 8-view
-    # flagship shape (PERF_NOTES.md); "sorted": one flat z-buffer over
-    # (B*big*W) segments.  Identical results up to fp summation order.
-    merge_impl: str = "sorted_batched"
+    # z-buffer implementation (identical results up to fp summation order):
+    #   "auto" (default): "pallas" for controlled-average merges on TPU
+    #     (the min-winner channels cost ~16 ms in the XLA pipeline but are
+    #     free in the kernel), "sorted_batched_dense" otherwise;
+    #   "pallas": ops/zbuffer_pallas.py one-hot MXU kernel;
+    #   "sorted_batched_dense": sentinel-dense sort pipeline, scatter-free;
+    #   "sorted_batched": sort + compaction sort + small scatters;
+    #   "sorted": one flat z-buffer over (B*big*W) segments.
+    merge_impl: str = "auto"
+
+    @property
+    def resolved_merge_impl(self) -> str:
+        if self.merge_impl != "auto":
+            return self.merge_impl
+        if self.use_controlled_average and jax.default_backend() == "tpu":
+            return "pallas"
+        return "sorted_batched_dense"
 
     @property
     def use_src_sky(self) -> bool:
@@ -229,8 +242,10 @@ def shared_view_images(
     # Materialise the scatter operands once: without the barrier XLA fuses
     # the whole unproject/reproject chain into EACH of the five scatter
     # operands, recomputing the 4M-point trig per scatter (~70ms/step).
-    if cfg.merge_impl in (
-        "sorted_batched", "sorted_batched_gather", "sorted_batched_dense"
+    merge_impl = cfg.resolved_merge_impl
+    if merge_impl in (
+        "sorted_batched", "sorted_batched_gather", "sorted_batched_dense",
+        "pallas",
     ):
         lkeys = row * W + col  # per-target-view local pixel ids
         lkeys, new_depth, src_int, valid = jax.lax.optimization_barrier(
@@ -241,11 +256,20 @@ def shared_view_images(
                 valid.reshape(B, A * N),
             )
         )
-        impl = {
-            "sorted_batched": zbuffer_stats_sorted_batched,
-            "sorted_batched_gather": zbuffer_stats_sorted_batched_gather,
-            "sorted_batched_dense": zbuffer_stats_sorted_batched_dense,
-        }[cfg.merge_impl]
+        if merge_impl == "pallas":
+            from ..ops.zbuffer_pallas import zbuffer_stats_sorted_batched_pallas
+
+            # interpreter mode off-TPU (tests on the CPU mesh)
+            impl = functools.partial(
+                zbuffer_stats_sorted_batched_pallas,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            impl = {
+                "sorted_batched": zbuffer_stats_sorted_batched,
+                "sorted_batched_gather": zbuffer_stats_sorted_batched_gather,
+                "sorted_batched_dense": zbuffer_stats_sorted_batched_dense,
+            }[merge_impl]
         stats = impl(lkeys, new_depth, src_int, valid, big * W + 1)
     else:
         view_idx = jnp.arange(B, dtype=jnp.int32).reshape(G, A, 1)

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 
 from simultaneous_diffusion_for_pointclouds_tpu.ops import zbuffer_stats
@@ -157,6 +158,52 @@ def test_sorted_zbuffer_v3_more_elements_than_segments():
             np.asarray(getattr(b, name))[live],
             rtol=1e-5, atol=1e-4, err_msg=name,
         )
+
+
+def test_pallas_zbuffer_matches_batched_sort():
+    """ops/zbuffer_pallas.py (interpret mode on CPU) vs the sort-based
+    oracle, incl. an empty segment and an all-invalid row region."""
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_stats_sorted_batched,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.zbuffer_pallas import (
+        zbuffer_stats_sorted_batched_pallas,
+    )
+
+    for seed in range(2):
+        rng = np.random.default_rng(seed + 11)
+        b, m, row_segs = 2, 3000, 700
+        keys = rng.integers(0, row_segs - 1, (b, m)).astype(np.int32)
+        value = rng.uniform(0, 10, (b, m)).astype(np.float32)
+        payload = rng.normal(size=(b, m)).astype(np.float32)
+        valid = rng.uniform(size=(b, m)) > 0.4
+        valid[0][keys[0] == 5] = False  # empty segment
+        a = zbuffer_stats_sorted_batched(keys, value, payload, valid, row_segs)
+        p = zbuffer_stats_sorted_batched_pallas(
+            keys, value, payload, valid, row_segs, interpret=True
+        )
+        for name in a._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(p, name)),
+                rtol=1e-5, atol=1e-5, err_msg=f"seed{seed} {name}",
+            )
+
+
+def test_split3_exact():
+    """The bf16 3-way split must reconstruct f32 exactly — a convert-based
+    split silently degrades under --xla_allow_excess_precision."""
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.zbuffer_pallas import (
+        _split3,
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-100, 100, 4096), jnp.float32
+    )
+    h, m, l = _split3(x)
+    rec = (
+        h.astype(jnp.float32) + m.astype(jnp.float32) + l.astype(jnp.float32)
+    )
+    assert float(jnp.max(jnp.abs(rec - x))) == 0.0
 
 
 def test_batched_gather_compaction_matches_batched_sort():

@@ -67,7 +67,7 @@ def main(views=8, impls=("zbuffer_stats_sorted", "zbuffer_stats_sorted_v3"),
         return f
 
     for name in impls:
-        if name.startswith("sorted_batched"):
+        if name.startswith("sorted_batched") or name == "pallas":
             globals()["cfg_cur"] = None
             import dataclasses as _dc
             cfg2 = _dc.replace(cfg, merge_impl=name)
