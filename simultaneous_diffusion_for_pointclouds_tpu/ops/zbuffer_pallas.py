@@ -65,17 +65,17 @@ def _zbuffer_kernel(base_ref, sk_ref, st_ref, out_ref):
     rows = c // 128  # chunk laid out as (rows, 128) sublane x lane tiles
     r0 = pl.program_id(0)
     nchunks = pl.num_programs(1) * INNER
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (_WIN, rows, 128), 0)
 
     def chunk(i, _):
         base = pl.multiple_of(base_ref[r0 * nchunks + g * INNER + i], 128)
         local = sk_ref[0, i] - base  # (rows, 128) int32
-        stats = st_ref[0, i]  # (16, rows, 128) bf16
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (_WIN, rows, 128), 0)
+        stats = st_ref[0, i]  # (rows, 16, 128) bf16 — exact bf16 tiles
         oh = (j_ids == local[None]).astype(jnp.bfloat16)  # (_WIN, rows, 128)
         win = jnp.zeros((16, _WIN), jnp.float32)
         for r in range(rows):
             win = win + jax.lax.dot_general(
-                stats[:, r, :], oh[:, r, :], (((1,), (1,)), ((), ())),
+                stats[r], oh[:, r, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (16, _WIN)
         final = jnp.concatenate(
@@ -177,8 +177,8 @@ def zbuffer_stats_sorted_batched_pallas(
     stats16 = jnp.stack(
         [parts[i].reshape(b, nchunks, crows, 128) for i in order]
         + [jnp.zeros((b, nchunks, crows, 128), jnp.bfloat16)],
-        axis=2,
-    )  # (b, nchunks, 16, crows, 128) bf16
+        axis=3,
+    )  # (b, nchunks, crows, 16, 128) bf16 — (16, 128) = one bf16 tile
 
     # per-chunk 128-aligned window bases, prefetched to SMEM
     bases = ((sk[:, ::CHUNK] >> 7) << 7).reshape(-1)  # (b * nchunks,)
@@ -198,7 +198,7 @@ def zbuffer_stats_sorted_batched_pallas(
                     (1, INNER, crows, 128), lambda r, g, _: (r, g, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (1, INNER, 16, crows, 128),
+                    (1, INNER, crows, 16, 128),
                     lambda r, g, _: (r, g, 0, 0, 0),
                 ),
             ],
