@@ -58,6 +58,16 @@ class SecondMethodConfig:
     setting: int = 4
     id_capacity: int = 0  # 0 -> auto: 3 * B*H*W
     median_pull_levels: int = 200
+    # "auto": the Pallas row-batched min z-buffer on TPU (the flat sort
+    # pipeline costs ~117 ms/step at the 8-view HDVMine shape), the flat
+    # zbuffer_min2 elsewhere; explicit "pallas"/"flat" override.
+    merge_impl: str = "auto"
+
+    @property
+    def resolved_merge_impl(self) -> str:
+        if self.merge_impl != "auto":
+            return self.merge_impl
+        return "pallas" if jax.default_backend() == "tpu" else "flat"
 
 
 def _signed_decode(x, sigma_mod):
@@ -214,16 +224,27 @@ def simultaneous_second_method_sample(
             new_num = jnp.cumsum(visible.astype(jnp.int32))  # 1-indexed
             point_new_id = jnp.where(visible, new_num, 0)
 
-            keys = view_idx * (big * W) + row * W + col
-            segs = B * big * W + 1
             # ONE widened min pass carrying both payloads (intensity + id)
             # instead of round 1's two zbuffer_stats calls
-            stats = zbuffer_min2(
-                keys.reshape(-1), new_depth.reshape(-1),
-                jnp.broadcast_to(ci[None], (B, C)).reshape(-1),
-                jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)).reshape(-1),
-                valid.reshape(-1), segs,
-            )
+            if scfg.resolved_merge_impl == "pallas":
+                from ..ops.zbuffer_pallas import zbuffer_min2_batched_pallas
+
+                stats = zbuffer_min2_batched_pallas(
+                    row * W + col, new_depth,
+                    jnp.broadcast_to(ci[None], (B, C)),
+                    jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)),
+                    valid, big * W + 1,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                keys = view_idx * (big * W) + row * W + col
+                segs = B * big * W + 1
+                stats = zbuffer_min2(
+                    keys.reshape(-1), new_depth.reshape(-1),
+                    jnp.broadcast_to(ci[None], (B, C)).reshape(-1),
+                    jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)).reshape(-1),
+                    valid.reshape(-1), segs,
+                )
 
             def img(v):
                 return v[: B * big * W].reshape(B, big, W)

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scatter import ZBufferStats, _BIG, _bits_to_float, _order_bits
+from .scatter import ZBufferMin2, ZBufferStats, _BIG, _bits_to_float, _order_bits
 
 # chunk of sorted elements processed per inner iteration; the output window
 # is CHUNK+128 wide and 128-aligned
@@ -54,24 +54,28 @@ INNER = 16
 _WIN = CHUNK + 128
 
 
-def _zbuffer_kernel(base_ref, sk_ref, st_ref, out_ref):
+def _zbuffer_kernel(live, base_ref, sk_ref, st_ref, out_ref):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    c = CHUNK
-    rows = c // 128  # chunk laid out as (rows, 128) sublane x lane tiles
+    rows = CHUNK // 128  # chunk laid out as (rows, 128) sublane x lane tiles
     r0 = pl.program_id(0)
     nchunks = pl.num_programs(1) * INNER
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (_WIN, rows, 128), 0)
 
     def chunk(i, _):
-        base = pl.multiple_of(base_ref[r0 * nchunks + g * INNER + i], 128)
+        # NOTE: predicating this body on "chunk is all-trash" (@pl.when on
+        # the first key) measured 20x SLOWER — the conditional around the
+        # dynamic out_ref read-modify-write breaks Mosaic's pipelining.
+        # Keep the body unconditional.
+        first_key = base_ref[r0 * nchunks + g * INNER + i]
+        base = pl.multiple_of((first_key >> 7) << 7, 128)
         local = sk_ref[0, i] - base  # (rows, 128) int32
         stats = st_ref[0, i]  # (rows, 16, 128) bf16 — exact bf16 tiles
-        oh = (j_ids == local[None]).astype(jnp.bfloat16)  # (_WIN, rows, 128)
+        oh = (j_ids == local[None]).astype(jnp.bfloat16)
         win = jnp.zeros((16, _WIN), jnp.float32)
         for r in range(rows):
             win = win + jax.lax.dot_general(
@@ -79,7 +83,10 @@ def _zbuffer_kernel(base_ref, sk_ref, st_ref, out_ref):
                 preferred_element_type=jnp.float32,
             )  # (16, _WIN)
         final = jnp.concatenate(
-            [win[0:5] + win[5:10] + win[10:15], jnp.zeros((3, _WIN), jnp.float32)],
+            [
+                win[0:5] + win[5:10] + win[10:15],
+                jnp.zeros((3, _WIN), jnp.float32),
+            ],
             axis=0,
         )  # (8, _WIN)
         osl = (0, slice(None), pl.ds(base, _WIN))
@@ -113,61 +120,55 @@ def _split3(x):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("row_segments", "interpret"))
-def zbuffer_stats_sorted_batched_pallas(
-    keys: jnp.ndarray,
-    value: jnp.ndarray,
-    payload: jnp.ndarray,
-    valid: jnp.ndarray,
-    row_segments: int,
-    interpret: bool = False,
-) -> ZBufferStats:
-    """Drop-in replacement for ``zbuffer_stats_sorted_batched`` (same
-    contract, see scatter.py) with the post-sort pipeline in Pallas.
-
-    ``interpret=True`` runs the kernel in interpreter mode (CPU tests).
-    """
+def _sort_with_sentinels(keys, value, payloads, valid, live):
+    """Append one +inf sentinel per live key (sorts to its segment's end)
+    and 2-key-sort by (key, depth-bits) carrying the payloads.  Returns
+    (sk, d, w, sm, sorted_payloads): d = depth zeroed on non-hits, w = hit
+    weight, sm = segment-start weight (exactly one per non-empty key)."""
     b, m = keys.shape
-    live = row_segments - 1
     k = jnp.where(valid, keys, live).astype(jnp.int32)
     vb = jnp.where(valid, value, _BIG).astype(jnp.float32)
 
-    # dense sentinels: one +inf entry per live key (sorts to segment end)
     syn_k = jnp.broadcast_to(jnp.arange(live, dtype=jnp.int32)[None], (b, live))
     k = jnp.concatenate([k, syn_k], axis=1)
     vb = jnp.concatenate([vb, jnp.full((b, live), jnp.inf, jnp.float32)], axis=1)
-    pay = jnp.concatenate(
-        [payload.astype(jnp.float32), jnp.zeros((b, live), jnp.float32)], axis=1
-    )
+    pays = [
+        jnp.concatenate(
+            [p.astype(jnp.float32), jnp.zeros((b, live), jnp.float32)], axis=1
+        )
+        for p in payloads
+    ]
 
-    sk, s_vbits, sp = jax.lax.sort((k, _order_bits(vb), pay), num_keys=2)
-    sk, s_vbits, sp = jax.lax.optimization_barrier((sk, s_vbits, sp))
+    sorted_ops = jax.lax.sort((k, _order_bits(vb), *pays), num_keys=2)
+    sorted_ops = jax.lax.optimization_barrier(sorted_ops)
+    sk, s_vbits, *sps = sorted_ops
     raw = _bits_to_float(s_vbits)
     is_hit = (sk != live) & jnp.isfinite(raw)
     w = is_hit.astype(jnp.float32)
     d = jnp.where(is_hit, raw, 0.0)
-    spw = sp * w
     start = jnp.concatenate(
         [jnp.ones((b, 1), bool), sk[:, 1:] != sk[:, :-1]], axis=1
     )
-    sm = start.astype(jnp.float32) * w  # exactly one per non-empty key
+    sm = start.astype(jnp.float32) * w
+    return sk, d, w, sm, [sp * w for sp in sps]
 
-    # pad the streams to a whole number of grid blocks with trash entries
+
+def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
+    """Pad the sorted streams, split the 5 channels into 3 bf16 parts each,
+    and run the kernel.  Returns the dense (b, 8, out_pad) f32 output."""
     block = INNER * CHUNK
-    mp = pl.cdiv(m + live, block) * block
-    pad = mp - (m + live)
+    mp = pl.cdiv(total, block) * block
+    pad = mp - total
     if pad:
         sk = jnp.pad(sk, ((0, 0), (0, pad)), constant_values=live)
-        zf = ((0, 0), (0, pad))
-        d, spw, w, sm = (jnp.pad(a, zf) for a in (d, spw, w, sm))
+        chans = [jnp.pad(a, ((0, 0), (0, pad))) for a in chans]
 
     # 5 channels x 3 bf16 precision parts (+1 zero row), stacked per chunk:
-    # (b, nchunks, 16, CHUNK//128, 128) so the kernel's per-chunk dynamic
-    # index lands on an untiled leading dim (no sublane-alignment proof
-    # needed for the loads)
+    # the kernel's per-chunk dynamic index lands on an untiled leading dim
+    # (no sublane-alignment proof needed) and each (16, 128) slab is one
+    # exact bf16 tile
     nchunks = mp // CHUNK
     crows = CHUNK // 128
-    chans = [d * w, spw, w, d * sm, spw * sm]
     parts = [p for ch in chans for p in _split3(ch)]
     order = (  # row i of the LHS = parts[order[i]]: hi rows 0-4, mid 5-9, ...
         [3 * c for c in range(5)]
@@ -178,21 +179,20 @@ def zbuffer_stats_sorted_batched_pallas(
         [parts[i].reshape(b, nchunks, crows, 128) for i in order]
         + [jnp.zeros((b, nchunks, crows, 128), jnp.bfloat16)],
         axis=3,
-    )  # (b, nchunks, crows, 16, 128) bf16 — (16, 128) = one bf16 tile
+    )  # (b, nchunks, crows, 16, 128) bf16
 
-    # per-chunk 128-aligned window bases, prefetched to SMEM
-    bases = ((sk[:, ::CHUNK] >> 7) << 7).reshape(-1)  # (b * nchunks,)
+    # per-chunk first keys, prefetched to SMEM (the kernel aligns the
+    # window base down to 128 and skips all-trash chunks)
+    bases = sk[:, ::CHUNK].reshape(-1)  # (b * nchunks,)
 
-    # out window base can reach live (all-trash chunk); window is _WIN wide
     out_pad = live + _WIN
 
-    grid = (b, mp // block)
-    out = pl.pallas_call(
-        _zbuffer_kernel,
+    return pl.pallas_call(
+        functools.partial(_zbuffer_kernel, live),
         out_shape=jax.ShapeDtypeStruct((b, 8, out_pad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(b, mp // block),
             in_specs=[
                 pl.BlockSpec(
                     (1, INNER, crows, 128), lambda r, g, _: (r, g, 0, 0)
@@ -211,11 +211,64 @@ def zbuffer_stats_sorted_batched_pallas(
         stats16,
     )
 
-    zero = jnp.zeros(1, jnp.float32)  # shared trailing trash segment
 
-    def densify(ch):
-        return jnp.concatenate([out[:, ch, :live].reshape(b * live), zero])
+def _densify(out, ch, b, live):
+    """Channel ch of the kernel output flattened to the ZBufferStats layout
+    (b * live segments + one shared trailing trash element)."""
+    zero = jnp.zeros(1, jnp.float32)
+    return jnp.concatenate([out[:, ch, :live].reshape(b * live), zero])
 
-    return ZBufferStats(
-        densify(0), densify(1), densify(2), densify(3), densify(4)
+
+@functools.partial(jax.jit, static_argnames=("row_segments", "interpret"))
+def zbuffer_stats_sorted_batched_pallas(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_segments: int,
+    interpret: bool = False,
+) -> ZBufferStats:
+    """Drop-in replacement for ``zbuffer_stats_sorted_batched`` (same
+    contract, see scatter.py) with the post-sort pipeline in Pallas.
+
+    ``interpret=True`` runs the kernel in interpreter mode (CPU tests).
+    """
+    b, m = keys.shape
+    live = row_segments - 1
+    sk, d, w, sm, (spw,) = _sort_with_sentinels(keys, value, [payload], valid, live)
+    out = _run_zbuffer_kernel(
+        sk, [d * w, spw, w, d * sm, spw * sm], b, m + live, live, interpret
     )
+    return ZBufferStats(*(_densify(out, ch, b, live) for ch in range(5)))
+
+
+@functools.partial(jax.jit, static_argnames=("row_segments", "interpret"))
+def zbuffer_min2_batched_pallas(
+    keys: jnp.ndarray,
+    value: jnp.ndarray,
+    payload1: jnp.ndarray,
+    payload2: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_segments: int,
+    interpret: bool = False,
+) -> ZBufferMin2:
+    """Row-batched :func:`scatter.zbuffer_min2` (min-depth winner with TWO
+    payloads) through the same kernel: the winner is the segment's first
+    sorted element, so the three outputs are just "first" channels
+    (``x * sm`` rows); the remaining two channel slots ride as zeros.
+
+    Same result layout as ``zbuffer_min2`` on flattened row-major keys:
+    ``b * (row_segments-1) + 1`` segments, empties 0.  ``payload2`` stays
+    exact for integer ids up to 2^24 (the bf16 3-part split is exact f32).
+    """
+    b, m = keys.shape
+    live = row_segments - 1
+    sk, d, w, sm, (sp1, sp2) = _sort_with_sentinels(
+        keys, value, [payload1, payload2], valid, live
+    )
+    zerosrow = jnp.zeros_like(d)
+    out = _run_zbuffer_kernel(
+        sk, [d * sm, sp1 * sm, sp2 * sm, zerosrow, zerosrow],
+        b, m + live, live, interpret,
+    )
+    return ZBufferMin2(*(_densify(out, ch, b, live) for ch in range(3)))

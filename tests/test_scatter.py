@@ -189,6 +189,41 @@ def test_pallas_zbuffer_matches_batched_sort():
             )
 
 
+def test_pallas_min2_matches_flat():
+    """zbuffer_min2_batched_pallas (interpret) vs the flat zbuffer_min2 on
+    row-major flattened keys — incl. integer ids in payload2 and a fully
+    invalid row."""
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_min2,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.zbuffer_pallas import (
+        zbuffer_min2_batched_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    b, m, row_segs = 2, 2500, 600
+    live = row_segs - 1
+    keys = rng.integers(0, live, (b, m)).astype(np.int32)
+    value = rng.uniform(0, 10, (b, m)).astype(np.float32)
+    p1 = rng.normal(size=(b, m)).astype(np.float32)
+    p2 = rng.integers(0, 1 << 20, (b, m)).astype(np.float32)
+    valid = rng.uniform(size=(b, m)) > 0.4
+    valid[1] = False
+    flat_keys = (keys + np.arange(b)[:, None] * live).reshape(-1)
+    f = zbuffer_min2(
+        flat_keys, value.reshape(-1), p1.reshape(-1), p2.reshape(-1),
+        valid.reshape(-1), b * live + 1,
+    )
+    g = zbuffer_min2_batched_pallas(
+        keys, value, p1, p2, valid, row_segs, interpret=True
+    )
+    for name in f._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(f, name)), np.asarray(getattr(g, name)),
+            rtol=1e-6, atol=1e-6, err_msg=name,
+        )
+
+
 def test_split3_exact():
     """The bf16 3-way split must reconstruct f32 exactly — a convert-based
     split silently degrades under --xla_allow_excess_precision."""
