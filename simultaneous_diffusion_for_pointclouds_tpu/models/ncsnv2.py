@@ -223,10 +223,24 @@ NCSNLiDAR = _family("NCSNLiDAR", "deepest", coord_conv=True)
 NCSNLiDARSmall = _family("NCSNLiDARSmall", "small", coord_conv=True)
 
 
-def get_model(config, dtype=jnp.float32):
+def get_model(config, dtype=None):
     """Dataset-name -> architecture dispatch, mirroring the reference
     runners' ``get_model`` (ncsn_runner.py:26-33,
-    ncsn_runner_kitti_simultaneous.py:33-52)."""
+    ncsn_runner_kitti_simultaneous.py:33-52).
+
+    ``dtype=None`` reads ``model.compute_dtype`` from the config
+    ("float32" default; "bfloat16" halves activation HBM traffic — params
+    and the output stay f32 via the models' in/out casts, so checkpoints
+    are dtype-compatible either way).
+    """
+    if dtype is None:
+        name = str(cfg_get(config, "model.compute_dtype", "float32"))
+        try:
+            dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+        except KeyError:
+            raise NotImplementedError(
+                f"model.compute_dtype {name!r} not supported"
+            ) from None
     ds = cfg_get(config, "data.dataset")
     if ds in ("CIFAR10", "CELEBA"):
         return NCSNv2(config, dtype=dtype)

@@ -114,3 +114,28 @@ def test_legacy_ncsn_parity(ref_models):
     ref = ref_ncsn_mod.NCSN(cfg)
     flax_model = ncsn_from_config(cfg)
     _compare(ref, flax_model, cfg)
+
+
+def test_compute_dtype_bfloat16_option():
+    """model.compute_dtype: bfloat16 runs the trunk in bf16 with f32 params
+    and f32 output (checkpoint-compatible); outputs stay close to f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from simultaneous_diffusion_for_pointclouds_tpu.models import get_model
+
+    cfg = _small_config()
+    cfg.model.compute_dtype = "bfloat16"
+    m16 = get_model(cfg)
+    cfg.model.compute_dtype = "float32"
+    m32 = get_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 2, 16, 32), jnp.float32)
+    lbl = jnp.zeros((2,), jnp.int32)
+    params = m32.init(rng, x, lbl)["params"]
+    o32 = m32.apply({"params": params}, x, lbl)
+    o16 = m16.apply({"params": params}, x, lbl)
+    assert o16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(o16)).all()
+    rel = float(jnp.max(jnp.abs(o16 - o32)) / (jnp.max(jnp.abs(o32)) + 1e-9))
+    assert rel < 0.2
