@@ -62,6 +62,13 @@ class SecondMethodConfig:
     # pipeline costs ~117 ms/step at the 8-view HDVMine shape), the flat
     # zbuffer_min2 elsewhere; explicit "pallas"/"flat" override.
     merge_impl: str = "auto"
+    # Order-preserving dense renumbering of the point ids at the start of
+    # every step: shrinks the per-step tables (averaging, reprojection,
+    # z-buffer) from the 3x id capacity to B*H*W+1 slots.  EXACT for the
+    # sampled images — ids only group pixels, and an order-preserving
+    # renumber leaves both the grouping and the visible-cumsum id images
+    # unchanged (the reference's raw id values are internal bookkeeping).
+    dense_renumber: bool = True
 
     @property
     def resolved_merge_impl(self) -> str:
@@ -181,12 +188,30 @@ def simultaneous_second_method_sample(
             flat_ids = jnp.where(is_new, fresh, flat_ids)
             flat_ids = jnp.clip(flat_ids, 0, C - 2)  # capacity guard
 
+            if scfg.dense_renumber:
+                # order-preserving dense renumber: sort (id, position), mark
+                # first occurrences, cumsum, scatter back — at most BN
+                # distinct ids, so every table below shrinks to T slots
+                sid, spos = jax.lax.sort(
+                    (flat_ids, jnp.arange(BN, dtype=jnp.int32)), num_keys=1
+                )
+                first = jnp.concatenate(
+                    [jnp.ones(1, bool), sid[1:] != sid[:-1]]
+                )
+                dense_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+                flat_ids = jnp.zeros(BN, jnp.int32).at[spos].set(
+                    dense_sorted, unique_indices=True
+                )
+                T = BN + 1
+            else:
+                T = C
+
             # scatter-average positions, intensity, displacement per id
             ones = jnp.ones(BN, jnp.float32)
-            raw_count = jax.ops.segment_sum(ones, flat_ids, C)
+            raw_count = jax.ops.segment_sum(ones, flat_ids, T)
             count = raw_count + 1e-12
             def avg(v):
-                return jax.ops.segment_sum(v, flat_ids, C) / count
+                return jax.ops.segment_sum(v, flat_ids, T) / count
             cx = avg(pts[:, 0]) + avg(nois[:, 0])
             cy = avg(pts[:, 1]) + avg(nois[:, 1])
             cz = avg(pts[:, 2]) + avg(nois[:, 2])
@@ -199,9 +224,9 @@ def simultaneous_second_method_sample(
                 cy = jnp.where(pull > 0, 0.9 * cy + 0.1 * gt_med[1], cy)
                 cz = jnp.where(pull > 0, 0.9 * cz + 0.1 * gt_med[2], cz)
 
-            cloud = jnp.stack([cx, cy, cz], axis=-1)  # (C, 3)
+            cloud = jnp.stack([cx, cy, cz], axis=-1)  # (T, 3)
 
-            # re-project all ids into every view (B, C)
+            # re-project all ids into every view (B, T)
             rel = cloud[None] - origins[:, None, :]
             px, py, pz = rel[..., 0], rel[..., 1], rel[..., 2]
             xy2 = px**2 + py**2
@@ -231,8 +256,8 @@ def simultaneous_second_method_sample(
 
                 stats = zbuffer_min2_batched_pallas(
                     row * W + col, new_depth,
-                    jnp.broadcast_to(ci[None], (B, C)),
-                    jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)),
+                    jnp.broadcast_to(ci[None], (B, T)),
+                    jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, T)),
                     valid, big * W + 1,
                     interpret=jax.default_backend() != "tpu",
                 )
@@ -241,8 +266,8 @@ def simultaneous_second_method_sample(
                 segs = B * big * W + 1
                 stats = zbuffer_min2(
                     keys.reshape(-1), new_depth.reshape(-1),
-                    jnp.broadcast_to(ci[None], (B, C)).reshape(-1),
-                    jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, C)).reshape(-1),
+                    jnp.broadcast_to(ci[None], (B, T)).reshape(-1),
+                    jnp.broadcast_to(point_new_id[None].astype(jnp.float32), (B, T)).reshape(-1),
                     valid.reshape(-1), segs,
                 )
 
