@@ -182,7 +182,7 @@ def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
     )  # (b, nchunks, crows, 16, 128) bf16
 
     # per-chunk first keys, prefetched to SMEM (the kernel aligns the
-    # window base down to 128 and skips all-trash chunks)
+    # window base down to 128)
     bases = sk[:, ::CHUNK].reshape(-1)  # (b * nchunks,)
 
     out_pad = live + _WIN
