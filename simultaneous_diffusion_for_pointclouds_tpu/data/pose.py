@@ -29,7 +29,9 @@ def _loadtxt_calib(path: str, row0: bool = False) -> np.ndarray:
         vals = np.loadtxt(path)
     except ValueError:
         vals = np.loadtxt(path, usecols=tuple(range(1, 13)))
-    vals = np.atleast_2d(vals)[0] if row0 or vals.ndim > 1 else vals
+    if row0:
+        vals = np.atleast_2d(vals)[0]
+    # remaining layouts reshape directly: one 12-value row, or 3 rows of 4
     return np.reshape(vals, [3, 4])
 
 

@@ -95,8 +95,17 @@ class ConsistencyConfig:
     #   "sorted": one flat z-buffer over (B*big*W) segments.
     merge_impl: str = "auto"
 
+    _MERGE_IMPLS = (
+        "auto", "pallas", "sorted_batched", "sorted_batched_dense",
+        "sorted_batched_gather", "sorted",
+    )
+
     @property
     def resolved_merge_impl(self) -> str:
+        if self.merge_impl not in self._MERGE_IMPLS:
+            raise NotImplementedError(
+                f"merge_impl {self.merge_impl!r} not in {self._MERGE_IMPLS}"
+            )
         if self.merge_impl != "auto":
             return self.merge_impl
         if self.use_controlled_average and jax.default_backend() == "tpu":

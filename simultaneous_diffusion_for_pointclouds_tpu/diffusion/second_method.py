@@ -72,6 +72,10 @@ class SecondMethodConfig:
 
     @property
     def resolved_merge_impl(self) -> str:
+        if self.merge_impl not in ("auto", "pallas", "flat"):
+            raise NotImplementedError(
+                f"merge_impl {self.merge_impl!r} not in ('auto', 'pallas', 'flat')"
+            )
         if self.merge_impl != "auto":
             return self.merge_impl
         return "pallas" if jax.default_backend() == "tpu" else "flat"

@@ -452,7 +452,10 @@ def zbuffer_stats_sorted_batched_gather(
     q = jax.lax.broadcasted_iota(jnp.int32, (b, live), 1)
     lo = jnp.zeros((b, live), jnp.int32)
     hi = jnp.full((b, live), m, jnp.int32)
-    rounds = max(1, (m - 1).bit_length())
+    # m.bit_length() rounds halve the search space [0, m] to a point;
+    # (m-1).bit_length() is one round short exactly when m is a power of
+    # two — the flagship M = 2^19 (regression-tested at m=512)
+    rounds = m.bit_length()
     for _ in range(rounds):
         mid = (lo + hi) >> 1
         skm = jnp.take_along_axis(sk, jnp.clip(mid, 0, m - 1), axis=1)

@@ -54,7 +54,7 @@ INNER = 16
 _WIN = CHUNK + 128
 
 
-def _zbuffer_kernel(live, base_ref, sk_ref, st_ref, out_ref):
+def _zbuffer_kernel(base_ref, sk_ref, st_ref, out_ref):
     g = pl.program_id(1)
 
     @pl.when(g == 0)
@@ -188,7 +188,7 @@ def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
     out_pad = live + _WIN
 
     return pl.pallas_call(
-        functools.partial(_zbuffer_kernel, live),
+        _zbuffer_kernel,
         out_shape=jax.ShapeDtypeStruct((b, 8, out_pad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -101,10 +101,7 @@ class SimultaneousSamplingRunner:
         self.views = cfg_get(config, "sampling.actualBatchSize", 7)
         self.batch = cfg_get(config, "sampling.batch_size", 42)
         self.groups = self.batch // self.views
-        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            cfg_get(config, "model.compute_dtype", "float32")
-        ]
-        self.model = get_model(config, dtype=dtype)
+        self.model = get_model(config)  # reads model.compute_dtype itself
         self.sigmas = get_sigmas(config)
         self.grid = kitti_sampler_grid(self.rows, self.cols)
 

@@ -189,6 +189,35 @@ def test_pallas_zbuffer_matches_batched_sort():
             )
 
 
+def test_dense_sentinel_matches_batched_sort():
+    """zbuffer_stats_sorted_batched_dense — the auto-default merge impl
+    off-TPU — vs the sort-based path, incl. empty segments and an
+    all-invalid row."""
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
+        zbuffer_stats_sorted_batched,
+        zbuffer_stats_sorted_batched_dense,
+    )
+
+    for seed in range(3):
+        rng = np.random.default_rng(seed + 21)
+        b, m, row_segs = 3, 700, 41
+        keys = rng.integers(0, row_segs - 1, (b, m)).astype(np.int32)
+        value = rng.uniform(0, 10, (b, m)).astype(np.float32)
+        payload = rng.normal(size=(b, m)).astype(np.float32)
+        valid = rng.uniform(size=(b, m)) > 0.4
+        valid[0][keys[0] == 5] = False  # empty segment
+        valid[2] = False  # all-invalid row
+        a = zbuffer_stats_sorted_batched(keys, value, payload, valid, row_segs)
+        d = zbuffer_stats_sorted_batched_dense(
+            keys, value, payload, valid, row_segs
+        )
+        for name in a._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(d, name)),
+                rtol=1e-6, atol=1e-6, err_msg=f"seed{seed} {name}",
+            )
+
+
 def test_pallas_min2_matches_flat():
     """zbuffer_min2_batched_pallas (interpret) vs the flat zbuffer_min2 on
     row-major flattened keys — incl. integer ids in payload2 and a fully
@@ -247,9 +276,11 @@ def test_batched_gather_compaction_matches_batched_sort():
         zbuffer_stats_sorted_batched_gather,
     )
 
-    for seed in range(3):
+    # m=512 (power of two) regression: the binary search needs
+    # m.bit_length() rounds; (m-1).bit_length() was one short
+    for seed, m in ((0, 500), (1, 500), (2, 512)):
         rng = np.random.default_rng(seed + 7)
-        b, m, row_segs = 3, 500, 33
+        b, row_segs = 3, 33
         keys = rng.integers(0, row_segs - 1, (b, m)).astype(np.int32)
         value = rng.uniform(0, 10, (b, m)).astype(np.float32)
         payload = rng.normal(size=(b, m)).astype(np.float32)

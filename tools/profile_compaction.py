@@ -11,7 +11,6 @@ python tools/profile_compaction.py
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -23,19 +22,7 @@ from simultaneous_diffusion_for_pointclouds_tpu.ops import scatter
 from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import kitti_sampler_grid
 
 
-def marginal(make_chain, args, n1=1, n2=3):
-    f1 = jax.jit(make_chain(n1))
-    f2 = jax.jit(make_chain(n2))
-
-    def timeit(f):
-        jax.block_until_ready(f(*args))
-        t = time.perf_counter()
-        for _ in range(3):
-            out = f(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t) / 3
-
-    return (timeit(f2) - timeit(f1)) / (n2 - n1)
+from _marginal import marginal  # noqa: E402
 
 
 def main(views=8):
@@ -88,8 +75,7 @@ def main(views=8):
                     jnp.arange(M, dtype=jnp.int32)[None], (B, M)).astype(jnp.int32)), num_keys=1)
                 s = cpos[:, :8].sum()
                 out = out + s
-                ok2 = ok2 + (s & 0)  # int dependency; & 0 is not folded? use max
-                ok2 = jnp.minimum(ok2, big_key - (s % 2))
+                ok2 = jnp.minimum(ok2, big_key - (s % 2))  # non-foldable dep
             return out.astype(jnp.float32)
         return f
 

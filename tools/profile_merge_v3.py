@@ -6,7 +6,6 @@ python tools/profile_merge_v3.py [views] [impl...]
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -19,19 +18,7 @@ from simultaneous_diffusion_for_pointclouds_tpu.ops import scatter
 from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import kitti_sampler_grid
 
 
-def marginal(make_chain, args, n1=1, n2=3):
-    f1 = jax.jit(make_chain(n1))
-    f2 = jax.jit(make_chain(n2))
-
-    def timeit(f):
-        jax.block_until_ready(f(*args))
-        t = time.perf_counter()
-        for _ in range(3):
-            out = f(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t) / 3
-
-    return (timeit(f2) - timeit(f1)) / (n2 - n1)
+from _marginal import marginal  # noqa: E402
 
 
 def main(views=8, impls=("zbuffer_stats_sorted", "zbuffer_stats_sorted_v3"),

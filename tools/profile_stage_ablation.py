@@ -9,7 +9,6 @@ python tools/profile_stage_ablation.py
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,19 +25,7 @@ from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
 )
 
 
-def marginal(make_chain, args, n1=1, n2=2):
-    f1 = jax.jit(make_chain(n1))
-    f2 = jax.jit(make_chain(n2))
-
-    def timeit(f):
-        jax.block_until_ready(f(*args))
-        t = time.perf_counter()
-        for _ in range(3):
-            out = f(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t) / 3
-
-    return (timeit(f2) - timeit(f1)) / (n2 - n1)
+from _marginal import marginal  # noqa: E402
 
 
 def truncated(keys, value, payload, valid, row_segments, stage):
@@ -90,7 +77,11 @@ def truncated(keys, value, payload, valid, row_segments, stage):
 
 def main(views=8):
     h, w = 64, 1024
-    big = 114
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import (
+        kitti_sampler_grid,
+    )
+
+    big = kitti_sampler_grid(h, w).big_rows
     B = views
     M = views * h * w
     row_segs = big * w + 1

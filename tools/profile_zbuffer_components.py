@@ -7,7 +7,6 @@ python tools/profile_zbuffer_components.py [views]
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -19,19 +18,7 @@ from simultaneous_diffusion_for_pointclouds_tpu.ops import scatter
 from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import kitti_sampler_grid
 
 
-def marginal(make_chain, args, n1=1, n2=3):
-    f1 = jax.jit(make_chain(n1))
-    f2 = jax.jit(make_chain(n2))
-
-    def timeit(f):
-        jax.block_until_ready(f(*args))
-        t = time.perf_counter()
-        for _ in range(3):
-            out = f(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t) / 3
-
-    return (timeit(f2) - timeit(f1)) / (n2 - n1)
+from _marginal import marginal  # noqa: E402
 
 
 def main(views=8):
@@ -109,7 +96,7 @@ def main(views=8):
                     q = jax.lax.broadcasted_iota(jnp.int32, (B, live), 1)
                     lo = jnp.zeros((B, live), jnp.int32)
                     hi = jnp.full((B, live), M, jnp.int32)
-                    for _r in range(max(1, (M - 1).bit_length())):
+                    for _r in range(M.bit_length()):
                         mid = (lo + hi) >> 1
                         skm = jnp.take_along_axis(sk, jnp.clip(mid, 0, M - 1), axis=1)
                         go_right = skm <= q
@@ -124,7 +111,9 @@ def main(views=8):
                     res = sum((jnp.take_along_axis(c, cpos, axis=1) * found).sum()
                               for c in cols)
                 out = out + res
-                vb = vb + (res * 0).astype(jnp.int32)
+                # real (non-foldable) dependency: res*0 would constant-fold
+                # and let XLA CSE the chain (see profile_compaction.py)
+                vb = vb + (res.astype(jnp.int32) & 1)
             return out
         return f
 
@@ -144,7 +133,7 @@ def main(views=8):
                     st = fn(keys, v, payload, valid, row_segs)
                     res = sum(getattr(st, f_).sum() for f_ in st._fields)
                     out = out + res
-                    v = v + res * 0
+                    v = v + res * 1e-12  # non-foldable dependency
                 return out
             return f
 
