@@ -102,9 +102,11 @@ def main():
     def time_fused():
         out = jax.block_until_ready(fused(rng, x0))  # compile + warm
         times = []
+        # seeds disjoint from the warmup key: identical-input re-executions
+        # may be served from the tunnel cache (CLAUDE.md protocol)
         for i in range(3):
             t = time.perf_counter()
-            jax.block_until_ready(fused(jax.random.PRNGKey(i), x0))
+            jax.block_until_ready(fused(jax.random.PRNGKey(i + 100), x0))
             times.append(time.perf_counter() - t)
         return min(times)
 
@@ -218,19 +220,93 @@ def main():
 
         jax.block_until_ready(fused21(rng, x21))
         times = []
-        for i in range(3):
+        for i in range(3):  # seeds disjoint from the warmup key (cache)
             t = time.perf_counter()
-            jax.block_until_ready(fused21(jax.random.PRNGKey(i), x21))
+            jax.block_until_ready(fused21(jax.random.PRNGKey(i + 100), x21))
+            times.append(time.perf_counter() - t)
+        return min(times)
+
+    # ------------- 42-image (6 scenes x 7 views) reference flagship ----
+    def time_42():
+        g, a = 6, 7
+        b42 = g * a
+        lv = 10  # shorter ladder subset: keeps the bench under budget
+        sig42 = jnp.asarray(full_sigmas[:: len(full_sigmas) // lv][:lv])
+        x42 = jax.random.uniform(rng, (b42, 2, H, W), jnp.float32)
+        mask42 = (
+            jax.random.uniform(jax.random.PRNGKey(2), (b42, 2, H, W)) > 0.5
+        ).astype(jnp.float32)
+        sky42 = jnp.ones((b42, 1, H, W), jnp.float32)
+        exist42 = jnp.ones((b42, H, W), jnp.float32)
+        eye42 = jnp.tile(jnp.eye(4)[None], (b42, 1, 1)).astype(jnp.float32)
+        ccfg42 = ConsistencyConfig(
+            grid=grid, actual_batch_size=a, setting=5, variant="poses"
+        )
+
+        @jax.jit
+        def fused42(r, x):
+            return simultaneous_inpainting_sample(
+                r, x, score_fn, sig42, lcfg, ccfg42,
+                refer_image=x42, refer_mask=mask42, sky=sky42, exist_mask=exist42,
+                min_step_to_share=0, grad_ref=1.0, correlation_coefficient=0.01,
+                to_world=eye42, from_world=eye42,
+            )
+
+        jax.block_until_ready(fused42(rng, x42))
+        times = []
+        for i in range(2):  # seeds disjoint from the warmup key (cache)
+            t = time.perf_counter()
+            jax.block_until_ready(fused42(jax.random.PRNGKey(i + 100), x42))
+            times.append(time.perf_counter() - t)
+        return min(times) / (lv * N_STEPS)
+
+    # ------------- second method (3D-noise ids), 8-view HDVMine shape --
+    def time_second():
+        from simultaneous_diffusion_for_pointclouds_tpu.diffusion.second_method import (
+            SecondMethodConfig,
+            mine_sampler_grid,
+            simultaneous_second_method_sample,
+        )
+
+        b = VIEWS
+        mgrid = mine_sampler_grid(H, W)
+        scfg = SecondMethodConfig(grid=mgrid, setting=4)
+        ids = jnp.where(
+            mask[:, :1] > 0,
+            jnp.arange(b * H * W, dtype=jnp.float32).reshape(b, 1, H, W),
+            -1.0,
+        )
+        mods = np.concatenate(
+            [np.zeros((1, 3)), np.random.default_rng(0).uniform(-8, 8, (b - 1, 3))]
+        ).astype(np.float32)
+        origins = jnp.asarray(cz.effective_origins(mods), jnp.float32)
+
+        @jax.jit
+        def fused2(r, x):
+            return simultaneous_second_method_sample(
+                r, x, score_fn, sigmas, lcfg, scfg,
+                refer_image=refer, refer_mask=mask, refer_indices=ids,
+                origins=origins, raw_origins=jnp.asarray(mods), grad_ref=1.0,
+            )
+
+        jax.block_until_ready(fused2(rng, x0))
+        times = []
+        for i in range(2):
+            t = time.perf_counter()
+            jax.block_until_ready(fused2(jax.random.PRNGKey(i + 100), x0))
             times.append(time.perf_counter() - t)
         return min(times)
 
     fused_t = time_fused()
     serial_t = time_serialized()
     t21 = time_21()
+    sps42 = 1.0 / time_42()
+    t2nd = time_second()
     total_steps = LEVELS * N_STEPS
     value = total_steps / fused_t
     baseline = total_steps / serial_t
     sps21 = total_steps / t21
+    sps2nd = total_steps / t2nd
     full_ladder_steps = 232 * N_STEPS + 1  # incl. final denoise forward
     print(json.dumps({
         "metric": "langevin_steps_per_sec_per_chip_8view_2x64x1024",
@@ -240,6 +316,10 @@ def main():
         "steps_per_sec_21img_3x7": round(sps21, 3),
         "img_steps_per_sec_21img_3x7": round(sps21 * 21, 1),
         "est_sec_per_scan_set_21img_full_ladder": round(full_ladder_steps / sps21, 1),
+        "steps_per_sec_42img_6x7": round(sps42, 3),
+        "img_steps_per_sec_42img_6x7": round(sps42 * 42, 1),
+        "est_sec_per_scan_set_42img_full_ladder": round(full_ladder_steps / sps42, 1),
+        "steps_per_sec_second_method_8view": round(sps2nd, 3),
         "baseline_note": "same-chip reference-launch-structure re-enactment; not a CUDA measurement",
     }))
     return 0

@@ -86,6 +86,7 @@ def main():
 
     from simultaneous_diffusion_for_pointclouds_tpu.config import cfg_get
     from simultaneous_diffusion_for_pointclouds_tpu.runners import (
+        PLAIN_DATASETS,
         SimultaneousSamplingRunner,
         trainer_for,
     )
@@ -96,7 +97,16 @@ def main():
     try:
         if args.sample:
             runner = SimultaneousSamplingRunner(args, config, variant=variant)
-            runner.sample(max_batches=args.max_batches, ckpt_path=args.ckpt)
+            # plain single-view datasets take the reference base runner's
+            # unconditional branch (ncsn_runner.py:505-533), incl. the
+            # final_only: false per-level trajectory dumps
+            if (
+                dataset in PLAIN_DATASETS
+                or cfg_get(config, "sampling.method", "basic") == "plain"
+            ):
+                runner.plain_sample(ckpt_path=args.ckpt)
+            else:
+                runner.sample(max_batches=args.max_batches, ckpt_path=args.ckpt)
         elif args.fast_fid:
             runner = SimultaneousSamplingRunner(args, config, variant=variant)
             runner.fast_fid(ckpt_path=args.ckpt)

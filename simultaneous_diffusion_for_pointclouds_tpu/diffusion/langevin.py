@@ -122,9 +122,9 @@ def _guided_sample(
             return (x, gl)
 
         x, gl = jax.lax.fori_loop(0, cfg.n_steps_each, step, (x, jnp.zeros_like(x)))
-        return (x, gl), None
+        return (x, gl), (x if cfg.collect_levels else None)
 
-    (x_mod, gl), _ = jax.lax.scan(
+    (x_mod, gl), trajectory = jax.lax.scan(
         level, (x_mod, jnp.zeros_like(x_mod)), (jnp.arange(L), sigmas)
     )
 
@@ -135,6 +135,11 @@ def _guided_sample(
 
     # final hard data-consistency step (models/__init__.py:598-599)
     x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
+    if cfg.collect_levels:
+        # per-level snapshots + the denoised final, matching the reference's
+        # images list (models/__init__.py:41-56 appends per level, then the
+        # denoised tail), for the final_only: false trajectory dumps
+        return x_mod, trajectory
     return x_mod
 
 
@@ -307,10 +312,12 @@ def simultaneous_inpainting_sample(
         x, gl, shared = jax.lax.fori_loop(
             0, cfg.n_steps_each, step, (x, jnp.zeros_like(x), shared)
         )
-        return (x, gl, shared), None
+        return (x, gl, shared), (x if cfg.collect_levels else None)
 
     init = (x_mod, jnp.zeros_like(x_mod), jnp.zeros_like(x_mod))
-    (x_mod, gl, shared), _ = jax.lax.scan(level, init, (jnp.arange(L), sigmas))
+    (x_mod, gl, shared), trajectory = jax.lax.scan(
+        level, init, (jnp.arange(L), sigmas)
+    )
 
     if cfg.denoise:
         labels = jnp.full((B,), L - 1, jnp.int32)
@@ -319,4 +326,6 @@ def simultaneous_inpainting_sample(
     x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
     if return_shared:
         return x_mod, shared
+    if cfg.collect_levels:
+        return x_mod, trajectory
     return x_mod

@@ -105,12 +105,80 @@ def make_video(frame_glob: str, out_path: str, fps: int = 10):
         return None
 
 
+def render_step_movie(
+    image_folder: str,
+    outdir: str,
+    fps: int = 10,
+    max_samples: int | None = None,
+):
+    """The reference's step-movie flow (visualization.py:67-109): consume
+    the ``samples_{i}.pth(.npy)`` per-level dumps written when
+    ``sampling.final_only`` is false, render BEV + perspective frames per
+    sample per level (the final frame is repeated for file_count/4 extra
+    frames, as the reference does), and assemble per-sample MP4s with
+    ffmpeg.  Returns {sample_index: [frame paths]}; MP4 paths are appended
+    when ffmpeg is available."""
+    os.makedirs(outdir, exist_ok=True)
+    files = sorted(
+        glob.glob(os.path.join(image_folder, "samples_*.pth.npy")),
+        key=lambda p: int(os.path.basename(p).split("_")[1].split(".")[0]),
+    )
+    if not files:
+        return {}
+    frames: dict[int, list] = {}
+    n_levels = len(files)
+    for i, f in enumerate(files):
+        tensor = np.load(f)
+        n = tensor.shape[0] if max_samples is None else min(max_samples, tensor.shape[0])
+        for j in range(n):
+            pts = range_image_to_points(
+                tensor[j][0], tensor[j][1] if tensor[j].shape[0] > 1 else None
+            )
+            bev = os.path.join(outdir, f"bev_{j}_{i:04d}.png")
+            persp = os.path.join(outdir, f"pts_{j}_{i:04d}.png")
+            render_bev(pts, bev)
+            render_perspective(pts, persp)
+            frames.setdefault(j, []).append(bev)
+    # hold the final state for file_count/4 extra frames (reference :94-104)
+    reps = max(n_levels // 4, 1)
+    final = np.load(files[-1])
+    n = final.shape[0] if max_samples is None else min(max_samples, final.shape[0])
+    import shutil as _sh
+
+    for j in range(n):
+        src_bev = os.path.join(outdir, f"bev_{j}_{n_levels - 1:04d}.png")
+        src_pts = os.path.join(outdir, f"pts_{j}_{n_levels - 1:04d}.png")
+        for r in range(reps):
+            for src, name in ((src_bev, "bev"), (src_pts, "pts")):
+                dst = os.path.join(outdir, f"{name}_{j}_{n_levels + r:04d}.png")
+                _sh.copyfile(src, dst)
+                if name == "bev":
+                    frames[j].append(dst)
+    videos = {}
+    for j in frames:
+        for name in ("bev", "pts"):
+            out = make_video(
+                os.path.join(outdir, f"{name}_{j}_*.png"),
+                os.path.join(outdir, f"{name}_{j}.mp4"),
+                fps=fps,
+            )
+            if out:
+                videos.setdefault(j, []).append(out)
+    return {"frames": frames, "videos": videos}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help=".npy of (B,2,H,W) samples or a glob")
+    p.add_argument("--input", help=".npy of (B,2,H,W) samples or a glob")
     p.add_argument("--outdir", required=True)
     p.add_argument("--video", action="store_true")
+    p.add_argument(
+        "--steps", help="image folder with samples_{i}.pth.npy per-level dumps"
+    )
     args = p.parse_args()
+    if args.steps:
+        render_step_movie(args.steps, args.outdir)
+        return
     files = sorted(glob.glob(args.input)) or [args.input]
     for i, f in enumerate(files):
         visualize_tensor(np.load(f), args.outdir, prefix=f"f{i}")

@@ -231,6 +231,11 @@ def zbuffer_stats_sorted_batched_pallas(
     """Drop-in replacement for ``zbuffer_stats_sorted_batched`` (same
     contract, see scatter.py) with the post-sort pipeline in Pallas.
 
+    Precondition: valid entries must carry FINITE depths — a valid entry
+    with inf/NaN depth is treated as a sentinel here (``is_hit`` requires
+    ``isfinite``) whereas the sort pipeline would count it.  All callers
+    log-compress finite depths, so the difference is unreachable today.
+
     ``interpret=True`` runs the kernel in interpreter mode (CPU tests).
     """
     b, m = keys.shape
@@ -260,6 +265,8 @@ def zbuffer_min2_batched_pallas(
     Same result layout as ``zbuffer_min2`` on flattened row-major keys:
     ``b * (row_segments-1) + 1`` segments, empties 0.  ``payload2`` stays
     exact for integer ids up to 2^24 (the bf16 3-part split is exact f32).
+    Precondition: valid entries carry finite depths (see
+    :func:`zbuffer_stats_sorted_batched_pallas`).
     """
     b, m = keys.shape
     live = row_segments - 1

@@ -42,6 +42,7 @@ from ..diffusion.langevin import (
 from ..diffusion.sigmas import get_sigmas
 from ..models import get_model
 from ..ops.geometry import kitti_sampler_grid
+from ..parallel import maybe_mesh, shard_simultaneous_sampler
 from ..utils.checkpoint import load_score_params
 from ..utils.images import save_sample_grid, two_channel_to_tiles
 from ..utils.logging_utils import setup_logging
@@ -113,11 +114,38 @@ class SimultaneousSamplingRunner:
         self.setting = cfg_get(
             config, "sampling.setting", 5 if variant == "poses" else 7
         )
+        # final_only: false keeps every noise level's state (reference
+        # ncsn_runner.py:505-516): one frame per LEVEL here (the reference
+        # keeps one per inner step — 5x more frames of the same movie).
+        # The (L, B, C, H, W) trajectory lives on-device until the sampler
+        # returns; use it with small ladders / batches.
+        self.final_only = bool(cfg_get(config, "sampling.final_only", True))
+        # memory knobs for batches beyond single-chip HBM (CLAUDE.md):
+        # sequential_groups processes one scene group at a time inside the
+        # merge; score_chunks lax.maps the score forward over sub-batches
+        self.sequential_groups = bool(cfg_get(config, "sampling.sequential_groups", False))
+        self.score_chunks = int(cfg_get(config, "sampling.score_chunks", 1))
         self.lcfg = LangevinConfig(
             n_steps_each=cfg_get(config, "sampling.n_steps_each", 5),
             step_lr=cfg_get(config, "sampling.step_lr", 6.2e-6),
             denoise=cfg_get(config, "sampling.denoise", True),
+            collect_levels=not self.final_only,
         )
+        # Multi-device by default (``parallel.enable``, auto when >1 device):
+        # every sampler jit below goes through the (data, view) mesh, the TPU
+        # counterpart of the reference's nn.DataParallel on every sampling
+        # path (ncsn_runner_kitti_simultaneous.py:481).
+        self.mesh = maybe_mesh(config)
+        if self.mesh is not None:
+            logging.info("sampling over mesh %s", self.mesh)
+
+    def _wrap(self, fn, n_image_args: int):
+        """jit ``fn`` — through the mesh (batch sharded over (data, view),
+        params replicated) when one is configured, plain ``jax.jit``
+        otherwise."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        return shard_simultaneous_sampler(fn, self.mesh, n_image_args)
 
     # ------------------------------------------------------------------
     def load_params(self, ckpt_path: Optional[str] = None, rng=None):
@@ -152,15 +180,38 @@ class SimultaneousSamplingRunner:
         scfg = SecondMethodConfig(
             grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting
         )
+        groups = self.groups
 
-        def run(params, rng, x, refer, mask, indices, origins, raw_origins):
+        def one_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
             return simultaneous_second_method_sample(
                 rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
                 refer_image=refer, refer_mask=mask, refer_indices=indices,
                 origins=origins, raw_origins=raw_origins, grad_ref=self.grad_ref,
             )
 
-        return jax.jit(run)
+        def run(params, rng, x, refer, mask, indices, origins, raw_origins):
+            if groups == 1:
+                return one_scene(
+                    params, rng, x, refer, mask, indices, origins, raw_origins
+                )
+            # Multi-scene: the sampler keeps ONE shared id table / point
+            # cloud, which is single-scene state (the reference only ever
+            # calls it with one scene's views,
+            # ncsn_runner_basic_simultaneous.py:624) — so scenes are vmapped
+            # as independent problems: per-scene id tables, per-scene
+            # reprojection (A x T_scene instead of (G*A) x T_global), no
+            # cross-scene scatter-averaging.
+            def resh(a):
+                return a.reshape((groups, views) + a.shape[1:])
+
+            out = jax.vmap(one_scene, in_axes=(None, 0) + (0,) * 6)(
+                params, jax.random.split(rng, groups), resh(x), resh(refer),
+                resh(mask), resh(indices), resh(origins), resh(raw_origins),
+            )
+            return out.reshape((groups * views,) + out.shape[2:])
+
+        # all six args after (params, rng) are per-view batch-leading arrays
+        return self._wrap(run, n_image_args=6)
 
     @functools.lru_cache(maxsize=16)
     def _jit_simultaneous(self, views: int):
@@ -170,9 +221,10 @@ class SimultaneousSamplingRunner:
             setting=self.setting,
             allowance=float(self.allowance),
             variant=self.variant,
+            sequential_groups=self.sequential_groups,
         )
 
-        def run(params, rng, x, refer, mask, sky, exist, origins, to_world, from_world):
+        def run(params, rng, x, refer, mask, sky, exist, to_world, from_world, origins):
             kw = (
                 dict(origins=origins)
                 if self.variant == "offsets"
@@ -182,10 +234,12 @@ class SimultaneousSamplingRunner:
                 rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
                 refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
                 min_step_to_share=self.start_step, grad_ref=self.grad_ref,
-                correlation_coefficient=self.correlation_co, **kw,
+                correlation_coefficient=self.correlation_co,
+                score_chunks=self.score_chunks, **kw,
             )
 
-        return jax.jit(run)
+        # 7 batch-leading args (x..from_world); per-view origins replicate
+        return self._wrap(run, n_image_args=7)
 
     @functools.lru_cache(maxsize=4)
     def _jit_inpainting(self):
@@ -195,7 +249,7 @@ class SimultaneousSamplingRunner:
                 self.lcfg, grad_ref=1.0,
             )
 
-        return jax.jit(run)
+        return self._wrap(run, n_image_args=3)
 
     # ------------------------------------------------------------------
     def _subset_views(self, arr: np.ndarray, keep: int) -> np.ndarray:
@@ -377,15 +431,18 @@ class SimultaneousSamplingRunner:
                         jnp.asarray(self._subset_views(mask_full, keep)),
                         jnp.asarray(self._subset_views(sky_full, keep)),
                         jnp.asarray(self._subset_views(exist, keep)),
-                        origins[:keep],
                         jnp.asarray(
                             self._subset_views(batch_np.get("to_world", identity), keep)
                         ),
                         jnp.asarray(
                             self._subset_views(batch_np.get("from_world", identity), keep)
                         ),
+                        origins[:keep],
                     )
                     n_out = self.groups * keep
+                trajectory = None
+                if isinstance(out, tuple):  # collect_levels (final_only: false)
+                    out, trajectory = out
                 out = np.asarray(jax.block_until_ready(out))
                 time_taken[do_this] += time.time() - start
                 np.save(
@@ -394,6 +451,21 @@ class SimultaneousSamplingRunner:
                     ),
                     time_taken[do_this],
                 )
+                if trajectory is not None:
+                    # one frame per level + the denoised final, for the
+                    # step-movie flow (reference ncsn_runner.py:505-516 +
+                    # visualization.py:67-109)
+                    traj = np.concatenate([np.asarray(trajectory), out[None]])
+                    for lvl, frame in enumerate(traj):
+                        np.save(
+                            os.path.join(
+                                args.image_folder,
+                                f"{do_this}_{save_num}_samples_{lvl}.pth",
+                            ),
+                            np.asarray(
+                                inverse_data_transform(cfg, jnp.asarray(frame))
+                            ),
+                        )
 
                 sample = np.asarray(inverse_data_transform(cfg, jnp.asarray(out)))
                 np.save(
@@ -446,7 +518,7 @@ class SimultaneousSamplingRunner:
                 correlation_coefficient=corr, origins=origins,
             )
 
-        return jax.jit(run)
+        return self._wrap(run, n_image_args=5)
 
     def hyperparameter_grid_sample(self, max_batches: Optional[int] = 2, ckpt_path=None, seed=0):
         cfg = self.config
@@ -499,6 +571,69 @@ class SimultaneousSamplingRunner:
         return results
 
     # ------------------------------------------------------------------
+    def plain_sample(self, ckpt_path=None, seed=1234):
+        """Unconditional sampling with ``final_only`` trajectory dumps —
+        the reference base runner's sample() branch (ncsn_runner.py:505-533):
+        ``final_only: true`` saves samples.pth(.npy) + image_grid.png;
+        false saves samples_{i}.pth(.npy) + image_grid_{i}.png per noise
+        level (one frame per LEVEL here plus the denoised final; the
+        reference keeps one per inner step), ready for
+        eval.visualization.render_step_movie.  Supports ``sampling.data_init``
+        (init from a test batch + sigma_0 noise, ncsn_runner.py:484-494)."""
+        from ..diffusion.langevin import anneal_langevin_dynamics
+
+        cfg = self.config
+        args = self.args
+        os.makedirs(args.image_folder, exist_ok=True)
+        params = self.load_params(ckpt_path)
+        b = self.batch
+        lcfg = self.lcfg
+        sampler = self._wrap(
+            lambda p, r, x: anneal_langevin_dynamics(
+                r, x, self._score_fn(p), self.sigmas, lcfg
+            ),
+            n_image_args=1,
+        )
+        rng = jax.random.PRNGKey(seed)
+        if cfg_get(cfg, "sampling.data_init", False):
+            from ..data.transforms import data_transform
+
+            _, test_ds = get_dataset(args, cfg)
+            loader = BatchLoader(test_ds, batch_size=b, shuffle=True, num_workers=2)
+            batch_np = next(iter(loader))
+            init = data_transform(cfg, jnp.asarray(batch_np["real"], jnp.float32))
+            rng, nrng = jax.random.split(rng)
+            init = init + self.sigmas[0] * jax.random.normal(nrng, init.shape, init.dtype)
+        else:
+            init = jax.random.uniform(
+                rng, (b, self.channels, self.rows, self.cols), jnp.float32
+            )
+        out = sampler(params, rng, init)
+        grid_side = int(np.sqrt(b))
+        if lcfg.collect_levels:
+            out, trajectory = out
+            frames = np.concatenate(
+                [np.asarray(trajectory), np.asarray(out)[None]]
+            )
+            for i, frame in enumerate(frames):
+                sample = np.asarray(inverse_data_transform(cfg, jnp.asarray(frame)))
+                np.save(
+                    os.path.join(args.image_folder, f"samples_{i}.pth"), sample
+                )
+                save_sample_grid(
+                    sample,
+                    os.path.join(args.image_folder, f"image_grid_{i}.png"),
+                    grid_side,
+                )
+            return len(frames)
+        sample = np.asarray(inverse_data_transform(cfg, jnp.asarray(out)))
+        np.save(os.path.join(args.image_folder, "samples.pth"), sample)
+        save_sample_grid(
+            sample, os.path.join(args.image_folder, "image_grid.png"), grid_side
+        )
+        return 1
+
+    # ------------------------------------------------------------------
     def fast_fid(self, ckpt_path=None, seed=0):
         """Unconditional batch sampling for FID evaluation
         (ncsn_runner.py fast_fid; config section fast_fid)."""
@@ -515,10 +650,11 @@ class SimultaneousSamplingRunner:
             step_lr=cfg_get(cfg, "fast_fid.step_lr", 6.2e-6),
             denoise=cfg_get(cfg, "sampling.denoise", True),
         )
-        sampler = jax.jit(
+        sampler = self._wrap(
             lambda p, r, x: anneal_langevin_dynamics(
                 r, x, self._score_fn(p), self.sigmas, lcfg
-            )
+            ),
+            n_image_args=1,
         )
         rng = jax.random.PRNGKey(seed)
         done = 0

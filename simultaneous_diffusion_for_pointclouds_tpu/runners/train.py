@@ -39,6 +39,7 @@ from ..diffusion.dsm import (
 )
 from ..diffusion.sigmas import get_sigmas
 from ..models import ema_init, ema_update, get_model, get_optimizer
+from ..parallel import maybe_mesh, shard_base_step, shard_train_step
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging_utils import MetricsLogger
 
@@ -55,6 +56,17 @@ class CurriculumTrainer:
         self.n_steps_each = cfg_get(config, "sampling.n_steps_each", 5)
         self.step_lr = cfg_get(config, "sampling.step_lr", 6.2e-6)
         self.anneal_power = cfg_get(config, "training.anneal_power", 2.0)
+        # Multi-device: jit the step over the (data, view) mesh by default
+        # whenever more than one device is visible (``parallel.enable``) —
+        # the TPU counterpart of the reference wrapping every model in
+        # nn.DataParallel (ncsn_runner.py:55).  Params replicate; the batch
+        # shards; XLA psums the gradients over ICI.
+        self.mesh = maybe_mesh(config)
+        if self.mesh is not None:
+            logging.info("training over mesh %s", self.mesh)
+            self._train_step = shard_train_step(self.train_step_impl, self.mesh)
+        else:
+            self._train_step = self.train_step
 
     # ------------------------------------------------------------------
     def init_state(self, rng, example) -> Dict:
@@ -201,7 +213,7 @@ class CurriculumTrainer:
                 for timestep in range(max_reachable):
                     true_step += 1
                     rng, step_rng = jax.random.split(rng)
-                    state, x, loss = self.train_step(
+                    state, x, loss = self._train_step(
                         state, step_rng, x, original_x, mask, timestep
                     )
                     if true_step % 10 == 0:
@@ -353,9 +365,18 @@ class ThreeDNoiseTrainer(CurriculumTrainer):
             reps = -(-views // mods.shape[0])
             mods = np.tile(mods, (reps, 1))
         self.mods3d = jnp.asarray(mods[:views], jnp.float32)
+        if self.mesh is not None:
+            from ..parallel import shard_train3d_step
+
+            self._train3d_step = shard_train3d_step(self.train3d_step_impl, self.mesh)
+        else:
+            self._train3d_step = self.train3d_step
 
     @functools.partial(jax.jit, static_argnums=0)
     def train3d_step(self, state, rng, x, mask, carry, timestep):
+        return self.train3d_step_impl(state, rng, x, mask, carry, timestep)
+
+    def train3d_step_impl(self, state, rng, x, mask, carry, timestep):
         from ..diffusion.cloud_training import (
             advance_prior_cloud,
             three_d_training_images,
@@ -440,7 +461,7 @@ class ThreeDNoiseTrainer(CurriculumTrainer):
                 for timestep in range(max_reachable):
                     true_step += 1
                     rng, step_rng = jax.random.split(rng)
-                    state, carry, loss = self.train3d_step(
+                    state, carry, loss = self._train3d_step(
                         state, step_rng, x, mask, carry, timestep
                     )
                     if true_step % 10 == 0:
@@ -475,8 +496,18 @@ class BaseTrainer(CurriculumTrainer):
     grids (ncsn_runner.py:42-221).  Dispatched by ``main.py`` for the
     non-simultaneous datasets (KITTI/lidar/KITTI360/nuscenes/...)."""
 
+    def __init__(self, args, config):
+        super().__init__(args, config)
+        if self.mesh is not None:
+            self._base_step = shard_base_step(self.base_step_impl, self.mesh)
+        else:
+            self._base_step = self.base_step
+
     @functools.partial(jax.jit, static_argnums=0)
     def base_step(self, state, rng, x):
+        return self.base_step_impl(state, rng, x)
+
+    def base_step_impl(self, state, rng, x):
         def loss_fn(params):
             def score_fn(inp, lbl):
                 return self.model.apply({"params": params}, inp, lbl)
@@ -543,7 +574,7 @@ class BaseTrainer(CurriculumTrainer):
                 step += 1
                 rng, r = jax.random.split(rng)
                 x = data_transform(cfg, jnp.asarray(batch_np["real"]))
-                state, loss = self.base_step(state, r, x)
+                state, loss = self._base_step(state, r, x)
                 if step % 10 == 0:
                     metrics.scalar("loss", loss, step)
                     logging.info("step: %d, loss: %.5f", step, float(loss))
