@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.geometry import RangeGrid, crop_big_with_negatives, unproject
-from ..ops.scatter import zbuffer_min2
+from ..ops.scatter import _segmented_scan_2d_multi, zbuffer_min2
 from .langevin import LangevinConfig, _level_noise
 
 
@@ -193,34 +193,74 @@ def simultaneous_second_method_sample(
             flat_ids = jnp.clip(flat_ids, 0, C - 2)  # capacity guard
 
             if scfg.dense_renumber:
-                # order-preserving dense renumber: sort (id, position), mark
-                # first occurrences, cumsum, scatter back — at most BN
-                # distinct ids, so every table below shrinks to T slots
-                sid, spos = jax.lax.sort(
-                    (flat_ids, jnp.arange(BN, dtype=jnp.int32)), num_keys=1
-                )
-                first = jnp.concatenate(
-                    [jnp.ones(1, bool), sid[1:] != sid[:-1]]
-                )
-                dense_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-                flat_ids = jnp.zeros(BN, jnp.int32).at[spos].set(
-                    dense_sorted, unique_indices=True
-                )
+                # Sorted-stream averaging (round 3): the order-preserving
+                # dense renumber already sorts by id, so carry the four
+                # PRE-ADDED value channels (avg(a)+avg(b) == avg(a+b) over
+                # identical segments) through that sort, compute per-id sums
+                # with a segmented Hillis-Steele scan on the sorted stream
+                # (segment-local magnitudes — no f32 cancellation, unlike a
+                # global cumsum), scatter only the int32 segment-END
+                # positions once, and gather the dense table.  Replaces the
+                # id write-back scatter + 9 ``segment_sum`` scatters of the
+                # round-2 pipeline; per-pixel ids never materialise at all.
+                # T = BN + 1 slots: at most BN distinct ids + 1 OOB drop.
                 T = BN + 1
+                sid, s0, s1, s2, s3 = jax.lax.sort(
+                    (
+                        flat_ids,
+                        pts[:, 0] + nois[:, 0],
+                        pts[:, 1] + nois[:, 1],
+                        pts[:, 2] + nois[:, 2],
+                        intens + noise_i,
+                    ),
+                    num_keys=1,
+                )
+                change = sid[1:] != sid[:-1]
+                first = jnp.concatenate([jnp.ones(1, bool), change])
+                end = jnp.concatenate([change, jnp.ones(1, bool)])
+                dense_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+                sums, _ = _segmented_scan_2d_multi(
+                    [s[None] for s in (s0, s1, s2, s3)], [s0[None]], first[None]
+                )
+                # one unique int32 scatter: each segment's end position lands
+                # at its dense id; non-end entries go out of bounds (dropped)
+                ends_pos = (
+                    jnp.full(T, -1, jnp.int32)
+                    .at[jnp.where(end, dense_sorted, T)]
+                    .set(
+                        jnp.arange(BN, dtype=jnp.int32),
+                        mode="drop", unique_indices=True,
+                    )
+                )
+                used = ends_pos >= 0
+                prev = jnp.concatenate(
+                    [jnp.full(1, -1, jnp.int32), ends_pos[:-1]]
+                )
+                raw_count = jnp.where(
+                    used, (ends_pos - prev).astype(jnp.float32), 0.0
+                )
+                count = raw_count + 1e-12
+                gpos = jnp.maximum(ends_pos, 0)
+                cx = jnp.where(used, sums[0][0][gpos], 0.0) / count
+                cy = jnp.where(used, sums[1][0][gpos], 0.0) / count
+                cz = jnp.where(used, sums[2][0][gpos], 0.0) / count
+                ci = jnp.where(used, sums[3][0][gpos], 0.0) / count
             else:
                 T = C
 
-            # scatter-average positions, intensity, displacement per id
-            ones = jnp.ones(BN, jnp.float32)
-            raw_count = jax.ops.segment_sum(ones, flat_ids, T)
-            count = raw_count + 1e-12
-            def avg(v):
-                return jax.ops.segment_sum(v, flat_ids, T) / count
-            cx = avg(pts[:, 0]) + avg(nois[:, 0])
-            cy = avg(pts[:, 1]) + avg(nois[:, 1])
-            cz = avg(pts[:, 2]) + avg(nois[:, 2])
-            ci = avg(intens) + avg(noise_i)
-            used = raw_count > 0
+                # scatter-average positions, intensity, displacement per id
+                ones = jnp.ones(BN, jnp.float32)
+                raw_count = jax.ops.segment_sum(ones, flat_ids, T)
+                count = raw_count + 1e-12
+
+                def avg(v):
+                    return jax.ops.segment_sum(v, flat_ids, T) / count
+
+                cx = avg(pts[:, 0]) + avg(nois[:, 0])
+                cy = avg(pts[:, 1]) + avg(nois[:, 1])
+                cz = avg(pts[:, 2]) + avg(nois[:, 2])
+                ci = avg(intens) + avg(noise_i)
+                used = raw_count > 0
 
             if scfg.setting == 7:
                 pull = (c < scfg.median_pull_levels).astype(x.dtype)

@@ -180,3 +180,89 @@ def test_second_method_smoke_setting7():
     out = np.asarray(out)
     assert out.shape == (B, 2, H, W)
     assert np.isfinite(out).all()
+
+
+def test_second_method_multi_scene_vmap_independence():
+    """G>1 scenes go through the runner as INDEPENDENT vmapped problems
+    (VERDICT r2 #5): the sampler's id table / shared cloud is single-scene
+    state (the reference only ever calls it with one scene's views,
+    ncsn_runner_basic_simultaneous.py:624).  The G=2 batched run must equal
+    two independent single-scene runs with the same per-scene rngs."""
+    import argparse
+
+    import jax
+    import yaml
+
+    from simultaneous_diffusion_for_pointclouds_tpu.config import dict2namespace
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    raw = yaml.safe_load(open(os.path.join(repo, "configs", "micro.yml")))
+    raw["sampling"]["batch_size"] = 4  # 2 scenes x 2 views
+    raw["sampling"]["actualBatchSize"] = 2
+    raw["sampling"]["method"] = "second"
+    raw["sampling"]["setting"] = 4
+    raw["parallel"] = {"enable": False}
+    cfg = dict2namespace(raw)
+    runner = SimultaneousSamplingRunner(
+        argparse.Namespace(seed=0, image_folder="/tmp/unused"), cfg,
+        variant="offsets",
+    )
+    assert runner.groups == 2
+    # random-init real nets diverge through the exponential depth decode;
+    # use the parity-test conventions (fake linear score, zero noise) — the
+    # subject under test is the runner's vmap wiring, not the net
+    import dataclasses
+
+    runner._score_fn = lambda params: _scorenet_jax
+    runner.lcfg = dataclasses.replace(runner.lcfg, noise_scale=0.0)
+
+    rng = np.random.default_rng(7)
+    b, h, w = 4, runner.rows, runner.cols
+    x = rng.uniform(0.05, 0.9, (b, 2, h, w)).astype(np.float32)
+    refer = rng.uniform(0.05, 0.9, (b, 2, h, w)).astype(np.float32)
+    mask1 = (rng.uniform(size=(b, 1, h, w)) > 0.5).astype(np.float32)
+    mask = np.concatenate([mask1, mask1], axis=1)
+    ids = rng.integers(-1, 40, (b, 1, h, w)).astype(np.float32)
+    mods = np.array([[0, 0, 0], [5, -5, 0]], np.float32)
+    origins = np.asarray(effective_origins(mods), np.float32)
+    org4 = np.tile(origins, (2, 1))
+    raw4 = np.tile(mods, (2, 1))
+    params = runner.load_params(rng=jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    batched = np.asarray(
+        runner._jit_second_method(2)(
+            params, key, jnp.asarray(x), jnp.asarray(refer), jnp.asarray(mask),
+            jnp.asarray(ids), jnp.asarray(org4), jnp.asarray(raw4),
+        )
+    )
+
+    # independent single-scene references with the SAME per-scene keys
+    scene_keys = jax.random.split(key, 2)
+    singles = []
+    for g, skey in enumerate(scene_keys):
+        sl = slice(2 * g, 2 * g + 2)
+        lcfg = runner.lcfg
+        scfg = SecondMethodConfig(
+            grid=mine_sampler_grid(h, w), setting=4
+        )
+        singles.append(
+            np.asarray(
+                simultaneous_second_method_sample(
+                    skey, jnp.asarray(x[sl]), _scorenet_jax,
+                    runner.sigmas, lcfg, scfg,
+                    refer_image=jnp.asarray(refer[sl]),
+                    refer_mask=jnp.asarray(mask[sl]),
+                    refer_indices=jnp.asarray(ids[sl]),
+                    origins=jnp.asarray(origins),
+                    raw_origins=jnp.asarray(mods),
+                    grad_ref=runner.grad_ref,
+                )
+            )
+        )
+    expected = np.concatenate(singles)
+    diff = np.abs(batched - expected)
+    assert (diff <= 1e-5).mean() > 0.999, diff.max()
