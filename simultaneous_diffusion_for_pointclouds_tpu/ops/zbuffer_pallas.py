@@ -55,16 +55,19 @@ _WIN = CHUNK + 128
 
 
 def _zbuffer_kernel(base_ref, sk_ref, st_ref, out_ref):
+    """Flat layout: ONE (16, CHUNK) @ (CHUNK, _WIN) bf16 MXU contraction per
+    chunk.  The original layout ran CHUNK//128 separate 128-deep dots per
+    chunk; fusing them into a single K=CHUNK contraction quarters the MXU
+    pipeline fills (measured 18 -> ~10 ms at the flagship shape)."""
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    rows = CHUNK // 128  # chunk laid out as (rows, 128) sublane x lane tiles
     r0 = pl.program_id(0)
     nchunks = pl.num_programs(1) * INNER
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (_WIN, rows, 128), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WIN), 1)
 
     def chunk(i, _):
         # NOTE: predicating this body on "chunk is all-trash" (@pl.when on
@@ -73,15 +76,13 @@ def _zbuffer_kernel(base_ref, sk_ref, st_ref, out_ref):
         # Keep the body unconditional.
         first_key = base_ref[r0 * nchunks + g * INNER + i]
         base = pl.multiple_of((first_key >> 7) << 7, 128)
-        local = sk_ref[0, i] - base  # (rows, 128) int32
-        stats = st_ref[0, i]  # (rows, 16, 128) bf16 — exact bf16 tiles
-        oh = (j_ids == local[None]).astype(jnp.bfloat16)
-        win = jnp.zeros((16, _WIN), jnp.float32)
-        for r in range(rows):
-            win = win + jax.lax.dot_general(
-                stats[r], oh[:, r, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (16, _WIN)
+        local = sk_ref[0, i].reshape(CHUNK, 1) - base  # (CHUNK, 1) int32
+        stats = st_ref[0, i]  # (16, CHUNK) bf16 — exact bf16 tiles
+        oh = (j_ids == local).astype(jnp.bfloat16)  # (CHUNK, _WIN)
+        win = jax.lax.dot_general(
+            stats, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (16, _WIN)
         final = jnp.concatenate(
             [
                 win[0:5] + win[5:10] + win[10:15],
@@ -165,10 +166,9 @@ def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
 
     # 5 channels x 3 bf16 precision parts (+1 zero row), stacked per chunk:
     # the kernel's per-chunk dynamic index lands on an untiled leading dim
-    # (no sublane-alignment proof needed) and each (16, 128) slab is one
-    # exact bf16 tile
+    # (no sublane-alignment proof needed) and each (16, CHUNK) slab is an
+    # exact row of bf16 tiles
     nchunks = mp // CHUNK
-    crows = CHUNK // 128
     parts = [p for ch in chans for p in _split3(ch)]
     order = (  # row i of the LHS = parts[order[i]]: hi rows 0-4, mid 5-9, ...
         [3 * c for c in range(5)]
@@ -176,10 +176,10 @@ def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
         + [3 * c + 2 for c in range(5)]
     )
     stats16 = jnp.stack(
-        [parts[i].reshape(b, nchunks, crows, 128) for i in order]
-        + [jnp.zeros((b, nchunks, crows, 128), jnp.bfloat16)],
-        axis=3,
-    )  # (b, nchunks, crows, 16, 128) bf16
+        [parts[i].reshape(b, nchunks, CHUNK) for i in order]
+        + [jnp.zeros((b, nchunks, CHUNK), jnp.bfloat16)],
+        axis=2,
+    )  # (b, nchunks, 16, CHUNK) bf16
 
     # per-chunk first keys, prefetched to SMEM (the kernel aligns the
     # window base down to 128)
@@ -194,12 +194,9 @@ def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
             num_scalar_prefetch=1,
             grid=(b, mp // block),
             in_specs=[
+                pl.BlockSpec((1, INNER, CHUNK), lambda r, g, _: (r, g, 0)),
                 pl.BlockSpec(
-                    (1, INNER, crows, 128), lambda r, g, _: (r, g, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, INNER, crows, 16, 128),
-                    lambda r, g, _: (r, g, 0, 0, 0),
+                    (1, INNER, 16, CHUNK), lambda r, g, _: (r, g, 0, 0)
                 ),
             ],
             out_specs=pl.BlockSpec((1, 8, out_pad), lambda r, g, _: (r, 0, 0)),
@@ -207,7 +204,7 @@ def _run_zbuffer_kernel(sk, chans, b, total, live, interpret):
         interpret=interpret,
     )(
         bases,
-        sk.reshape(b, nchunks, crows, 128),
+        sk.reshape(b, nchunks, CHUNK),
         stats16,
     )
 
