@@ -108,7 +108,12 @@ class ConsistencyConfig:
             )
         if self.merge_impl != "auto":
             return self.merge_impl
-        if self.use_controlled_average and jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu":
+            # Round 3: the flat-layout kernel (24.7 ms) now beats the dense
+            # sort pipeline even where XLA DCEs the unused min-winner
+            # channels (36.3 ms for the offsets/setting<7 merge), so pallas
+            # is the auto choice for EVERY TPU merge, not just
+            # controlled-average ones.
             return "pallas"
         return "sorted_batched_dense"
 
