@@ -35,6 +35,26 @@ def _frac_close(a, b, tol=1e-4):
     return float(np.mean(np.abs(np.asarray(a) - np.asarray(b)) <= tol))
 
 
+def test_auto_dispatch_rules(monkeypatch):
+    """auto = pallas for EVERY merge on TPU (round 3 — the flat-layout
+    kernel beats the dense pipeline even where XLA DCEs the min channels),
+    dense/flat sort pipelines off-TPU."""
+    grid = kitti_sampler_grid(8, 32)
+    cfg = ConsistencyConfig(
+        grid=grid, actual_batch_size=2, setting=4, variant="offsets"
+    )
+    scfg = SecondMethodConfig(grid=mine_sampler_grid(8, 32), setting=4)
+    assert cfg.resolved_merge_impl == "sorted_batched_dense"
+    assert scfg.resolved_merge_impl == "flat"
+    import simultaneous_diffusion_for_pointclouds_tpu.diffusion.consistency as cmod
+    import simultaneous_diffusion_for_pointclouds_tpu.diffusion.second_method as smod
+
+    monkeypatch.setattr(cmod.jax, "default_backend", lambda: "tpu")
+    assert cfg.resolved_merge_impl == "pallas"
+    assert smod.jax.default_backend() == "tpu"  # same module object
+    assert scfg.resolved_merge_impl == "pallas"
+
+
 @pytest.mark.parametrize("variant,setting", [("poses", 5), ("offsets", 7)])
 def test_shared_view_images_pallas_call_site(variant, setting):
     h, w, a, g = 8, 32, 2, 2
