@@ -217,34 +217,54 @@ def simultaneous_second_method_sample(
                 )
                 change = sid[1:] != sid[:-1]
                 first = jnp.concatenate([jnp.ones(1, bool), change])
-                end = jnp.concatenate([change, jnp.ones(1, bool)])
                 dense_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-                sums, _ = _segmented_scan_2d_multi(
-                    [s[None] for s in (s0, s1, s2, s3)], [s0[None]], first[None]
-                )
-                # one unique int32 scatter: each segment's end position lands
-                # at its dense id; non-end entries go out of bounds (dropped)
-                ends_pos = (
-                    jnp.full(T, -1, jnp.int32)
-                    .at[jnp.where(end, dense_sorted, T)]
-                    .set(
-                        jnp.arange(BN, dtype=jnp.int32),
-                        mode="drop", unique_indices=True,
+                if scfg.resolved_merge_impl == "pallas":
+                    # Round 3: per-id sums through the one-hot MXU kernel —
+                    # the dense-renumbered stream is sorted AND dense, so
+                    # chunk output windows are bounded and group partials
+                    # recombine with ~64 slice-adds (no 524k scatter, no
+                    # 20-pass segmented scan, no end-position gathers).
+                    from ..ops.zbuffer_pallas import segment_sums_sorted_pallas
+
+                    sums4, raw_count = segment_sums_sorted_pallas(
+                        dense_sorted, (s0, s1, s2, s3), T,
+                        interpret=jax.default_backend() != "tpu",
                     )
-                )
-                used = ends_pos >= 0
-                prev = jnp.concatenate(
-                    [jnp.full(1, -1, jnp.int32), ends_pos[:-1]]
-                )
-                raw_count = jnp.where(
-                    used, (ends_pos - prev).astype(jnp.float32), 0.0
-                )
-                count = raw_count + 1e-12
-                gpos = jnp.maximum(ends_pos, 0)
-                cx = jnp.where(used, sums[0][0][gpos], 0.0) / count
-                cy = jnp.where(used, sums[1][0][gpos], 0.0) / count
-                cz = jnp.where(used, sums[2][0][gpos], 0.0) / count
-                ci = jnp.where(used, sums[3][0][gpos], 0.0) / count
+                    used = raw_count > 0
+                    count = raw_count + 1e-12
+                    cx = sums4[0] / count
+                    cy = sums4[1] / count
+                    cz = sums4[2] / count
+                    ci = sums4[3] / count
+                else:
+                    end = jnp.concatenate([change, jnp.ones(1, bool)])
+                    sums, _ = _segmented_scan_2d_multi(
+                        [s[None] for s in (s0, s1, s2, s3)], [s0[None]], first[None]
+                    )
+                    # one unique int32 scatter: each segment's end position
+                    # lands at its dense id; non-end entries go out of
+                    # bounds (dropped)
+                    ends_pos = (
+                        jnp.full(T, -1, jnp.int32)
+                        .at[jnp.where(end, dense_sorted, T)]
+                        .set(
+                            jnp.arange(BN, dtype=jnp.int32),
+                            mode="drop", unique_indices=True,
+                        )
+                    )
+                    used = ends_pos >= 0
+                    prev = jnp.concatenate(
+                        [jnp.full(1, -1, jnp.int32), ends_pos[:-1]]
+                    )
+                    raw_count = jnp.where(
+                        used, (ends_pos - prev).astype(jnp.float32), 0.0
+                    )
+                    count = raw_count + 1e-12
+                    gpos = jnp.maximum(ends_pos, 0)
+                    cx = jnp.where(used, sums[0][0][gpos], 0.0) / count
+                    cy = jnp.where(used, sums[1][0][gpos], 0.0) / count
+                    cz = jnp.where(used, sums[2][0][gpos], 0.0) / count
+                    ci = jnp.where(used, sums[3][0][gpos], 0.0) / count
             else:
                 T = C
 

@@ -276,3 +276,150 @@ def zbuffer_min2_batched_pallas(
         b, m + live, live, interpret,
     )
     return ZBufferMin2(*(_densify(out, ch, b, live) for ch in range(3)))
+
+
+# ---------------------------------------------------------------------------
+# Per-id segment sums over an ALREADY-SORTED dense-id stream (second method's
+# per-id averaging, diffusion/second_method.py).  The id table (B*H*W+1
+# slots ~ 2 MB/channel) cannot live in VMEM as one output block, so the grid
+# walks chunk GROUPS and each group emits a partial (8, _GROUPWIN) window at
+# its own 128-aligned base (ids are non-decreasing, so a group of
+# INNER*CHUNK elements spans < INNER*CHUNK + 2*128 table slots); the
+# partials are recombined with ngroups dynamic-slice adds on the XLA side —
+# sequential, but only ~64 small updates instead of a 524k-element scatter.
+# ---------------------------------------------------------------------------
+
+# a group's ids are non-decreasing and dense, so INNER*CHUNK elements span
+# <= INNER*CHUNK + 1 slots; +127 group-base align-down, +127 chunk-base
+# align-down, + _WIN chunk window reach => block + 767, rounded to 128
+_GROUPWIN = INNER * CHUNK + 768
+
+
+def _segsum_kernel(gbase_ref, cbase_ref, sk_ref, st_ref, out_ref):
+    g = pl.program_id(0)
+    out_ref[...] = jnp.zeros_like(out_ref)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WIN), 1)
+    group_base = gbase_ref[g]
+
+    def chunk(i, _):
+        # pure-padding chunks (trailing trash ids) land beyond the group
+        # window; clamp their base — they contribute exact zeros anyway
+        chunk_base = pl.multiple_of(
+            jnp.minimum(
+                ((cbase_ref[g * INNER + i] >> 7) << 7) - group_base,
+                _GROUPWIN - _WIN,
+            ),
+            128,
+        )
+        local = sk_ref[0, i].reshape(CHUNK, 1) - group_base - chunk_base
+        stats = st_ref[0, i]  # (16, CHUNK) bf16
+        oh = (j_ids == local).astype(jnp.bfloat16)
+        win = jax.lax.dot_general(
+            stats, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        final = jnp.concatenate(
+            [
+                win[0:5] + win[5:10] + win[10:15],
+                jnp.zeros((3, _WIN), jnp.float32),
+            ],
+            axis=0,
+        )
+        osl = (0, slice(None), pl.ds(chunk_base, _WIN))
+        out_ref[osl] = out_ref[osl] + final
+        return 0
+
+    jax.lax.fori_loop(0, INNER, chunk, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+def segment_sums_sorted_pallas(
+    sorted_ids: jnp.ndarray,
+    channels: tuple,
+    num_segments: int,
+    interpret: bool = False,
+):
+    """Per-segment sums of up to four f32 channels plus the element count,
+    for a flat int32 ``sorted_ids`` stream that is NON-DECREASING and DENSE
+    (every id in [0, max_id] occurs — e.g. the second method's per-step
+    ``dense_renumber`` output).  Returns ``(sums, count)`` where ``sums`` is
+    a list of (num_segments,) f32 arrays (one per channel) and ``count`` the
+    per-id multiplicity.  Exactness: same 3-part bf16 split as the z-buffer
+    kernel (full f32 precision).
+
+    Density is what bounds each chunk's output window; sortedness is what
+    makes the group -> table-window mapping monotone.  Elements are padded
+    to a block multiple with id ``num_segments - 1`` (slot dropped by no
+    one: the pad weight is zero).
+    """
+    (n,) = sorted_ids.shape
+    assert 1 <= len(channels) <= 4
+    block = INNER * CHUNK
+    np_ = pl.cdiv(n, block) * block
+    pad = np_ - n
+    sk = sorted_ids
+    chans = list(channels)
+    ones = jnp.ones((n,), jnp.float32)
+    if pad:
+        sk = jnp.pad(sk, (0, pad), constant_values=num_segments - 1)
+        chans = [jnp.pad(a, (0, pad)) for a in chans]
+        ones = jnp.pad(ones, (0, pad))
+    while len(chans) < 4:
+        chans.append(jnp.zeros_like(ones))
+    chans.append(ones)  # count channel: 1.0 is one exact bf16 part
+
+    nchunks = np_ // CHUNK
+    ngroups = np_ // block
+    parts = [p for ch in chans[:4] for p in _split3(ch)]
+    order = (
+        [3 * c for c in range(4)] + [12]          # hi rows 0-3, count row 4
+        + [3 * c + 1 for c in range(4)] + [12]    # mid rows 5-8, zero row 9
+        + [3 * c + 2 for c in range(4)] + [12]    # lo rows 10-13, zero row 14
+    )
+    zero = jnp.zeros((nchunks, CHUNK), jnp.bfloat16)
+    cnt16 = chans[4].reshape(nchunks, CHUNK).astype(jnp.bfloat16)
+    rows = []
+    for i, o in enumerate(order):
+        if o == 12:
+            rows.append(cnt16 if i == 4 else zero)
+        else:
+            rows.append(parts[o].reshape(nchunks, CHUNK))
+    stats16 = jnp.stack(rows + [zero], axis=1)  # (nchunks, 16, CHUNK)
+
+    cbases = sk[::CHUNK]  # (nchunks,) first id per chunk
+    gbases = (cbases[::INNER] >> 7) << 7  # (ngroups,) aligned group bases
+
+    partials = pl.pallas_call(
+        _segsum_kernel,
+        out_shape=jax.ShapeDtypeStruct((ngroups, 8, _GROUPWIN), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ngroups,),
+            in_specs=[
+                pl.BlockSpec((1, INNER, CHUNK), lambda g, *_: (g, 0, 0)),
+                pl.BlockSpec((1, INNER, 16, CHUNK), lambda g, *_: (g, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, _GROUPWIN), lambda g, *_: (g, 0, 0)),
+        ),
+        interpret=interpret,
+    )(
+        gbases,
+        cbases,
+        sk.reshape(ngroups, INNER, CHUNK),
+        stats16.reshape(ngroups, INNER, 16, CHUNK),
+    )
+
+    out_pad = num_segments + _GROUPWIN
+
+    def body(g, acc):
+        win = jax.lax.dynamic_slice(acc, (0, gbases[g]), (5, _GROUPWIN))
+        return jax.lax.dynamic_update_slice(
+            acc, win + partials[g, :5], (0, gbases[g])
+        )
+
+    table = jax.lax.fori_loop(
+        0, ngroups, body, jnp.zeros((5, out_pad), jnp.float32)
+    )
+    sums = [table[c, :num_segments] for c in range(len(channels))]
+    count = table[4, :num_segments]
+    return sums, count

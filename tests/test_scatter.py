@@ -292,3 +292,37 @@ def test_batched_gather_compaction_matches_batched_sort():
                 np.asarray(getattr(a, name)), np.asarray(getattr(g, name)),
                 rtol=1e-6, atol=1e-6, err_msg=name,
             )
+
+
+def test_segment_sums_sorted_pallas_matches_segment_sum():
+    """segment_sums_sorted_pallas (interpret mode) vs jax.ops.segment_sum
+    on a dense sorted id stream — incl. multi-group streams (n > one
+    INNER*CHUNK block forces the group-partial slice-add recombination)
+    and the block-padding trash path."""
+    import jax
+
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.zbuffer_pallas import (
+        segment_sums_sorted_pallas,
+    )
+
+    for seed, nseg_live in ((0, 700), (3, 1), (5, 4000)):
+        rng = np.random.default_rng(seed)
+        reps = rng.integers(1, 9, nseg_live)
+        ids = np.sort(np.repeat(np.arange(nseg_live), reps)).astype(np.int32)
+        n = len(ids)
+        nseg = nseg_live + 1
+        chans = [rng.normal(size=n).astype(np.float32) for _ in range(4)]
+        sums, cnt = segment_sums_sorted_pallas(
+            jnp.asarray(ids),
+            tuple(jnp.asarray(c) for c in chans),
+            nseg,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cnt), np.bincount(ids, minlength=nseg).astype(np.float32)
+        )
+        for i, c in enumerate(chans):
+            ref = jax.ops.segment_sum(jnp.asarray(c), jnp.asarray(ids), nseg)
+            np.testing.assert_allclose(
+                np.asarray(sums[i]), np.asarray(ref), rtol=1e-5, atol=1e-5
+            )
