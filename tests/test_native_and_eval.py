@@ -116,3 +116,40 @@ def test_visualization_smoke(tmp_path):
     paths = visualize_tensor(img, str(tmp_path))
     for bev, persp in paths:
         assert os.path.isfile(bev) and os.path.isfile(persp)
+
+
+def test_scene_completer_roundtrip(tmp_path):
+    """complete_scene on a fabricated organised run: one generated view +
+    raw scan -> Final cloud with xyz shifted by the view origin and the
+    median re-centering undone (MeasureResults/SceneCompleter.py:60-269)."""
+    from simultaneous_diffusion_for_pointclouds_tpu.eval.scene_completer import (
+        complete_scene,
+    )
+
+    rng = np.random.default_rng(0)
+    rows, cols = 16, 64
+    raw = np.concatenate(
+        [rng.uniform(-20, 20, (500, 3)), rng.uniform(0, 1, (500, 1))], axis=1
+    ).astype(np.float32)
+    raw_path = tmp_path / "scan.npy"
+    np.save(raw_path, raw)
+
+    views = tmp_path / "views"
+    (views / "Origins").mkdir(parents=True)
+    # log-compressed distances ~ 2-40 m everywhere: nothing below the 1.5 m
+    # trust floor, so only the sky heuristic filters points
+    dist = np.log2(1.0 + rng.uniform(2.0, 40.0, (rows, cols))) / 6.0
+    arr = np.zeros((2, 3, rows, cols), np.float32)
+    arr[0, 0] = dist
+    np.save(views / "0.npy", arr.astype(np.float32))
+    np.save(views / "Origins" / "0.npy", np.asarray([5.0, -3.0, 0.0]))
+
+    out = tmp_path / "Final" / "scan.npy"
+    final = complete_scene(
+        str(views), str(raw_path), str(out), rows=rows, cols=cols
+    )
+    assert out.is_file()
+    assert final.ndim == 2 and final.shape[1] == 4
+    assert 0 < len(final) <= rows * cols
+    assert np.all(final[:, 3] == 0)  # no RangeNet labels provided
+    assert np.isfinite(final).all()
