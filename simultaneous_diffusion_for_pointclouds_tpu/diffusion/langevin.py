@@ -96,12 +96,28 @@ def _guided_sample(
     mask,
     grad_ref: float,
     per_step_extra=None,
+    start_level=0,
+    total_levels=None,
+    sigma_last=None,
+    carry_in=None,
+    finalize: bool = True,
 ):
     """Shared body for inpainting/densification/simultaneous: Langevin with
     ``-mask*(x-ref)`` guidance; ``per_step_extra(x, c, s, sigma)`` may return
-    an additional additive correction (the cross-view consistency)."""
+    an additional additive correction (the cross-view consistency).
+
+    Segmented execution (``runners/sample.py`` ladder chunking — a single
+    232-level 42-image execution exceeds the axon tunnel's per-execute
+    limit): ``sigmas`` may be one SEGMENT of the ladder, with
+    ``start_level`` its absolute offset (int or traced scalar — one compile
+    serves every equal-length segment), ``total_levels``/``sigma_last`` the
+    global ladder length/tail, ``carry_in`` the previous segment's ``gl``
+    and ``finalize=False`` returning ``(x, gl)`` (+trajectory) instead of
+    applying the final denoise + data-consistency step.  Noise keys use the
+    absolute level index, so chunked == single-execution bitwise."""
     L = sigmas.shape[0]
-    sigma_last = sigmas[-1]
+    Ltot = int(L) if total_levels is None else total_levels
+    sigma_last = sigmas[-1] if sigma_last is None else sigma_last
     B = x_mod.shape[0]
     mask = mask.astype(x_mod.dtype)
 
@@ -124,12 +140,18 @@ def _guided_sample(
         x, gl = jax.lax.fori_loop(0, cfg.n_steps_each, step, (x, jnp.zeros_like(x)))
         return (x, gl), (x if cfg.collect_levels else None)
 
+    gl0 = jnp.zeros_like(x_mod) if carry_in is None else carry_in
     (x_mod, gl), trajectory = jax.lax.scan(
-        level, (x_mod, jnp.zeros_like(x_mod)), (jnp.arange(L), sigmas)
+        level, (x_mod, gl0), (jnp.arange(L) + start_level, sigmas)
     )
 
+    if not finalize:
+        if cfg.collect_levels:
+            return x_mod, gl, trajectory
+        return x_mod, gl
+
     if cfg.denoise:
-        labels = jnp.full((B,), L - 1, jnp.int32)
+        labels = jnp.full((B,), Ltot - 1, jnp.int32)
         # reference reuses the LAST grad_likelihood here (models/__init__.py:594)
         x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels) + grad_ref * gl
 
@@ -145,10 +167,13 @@ def _guided_sample(
 
 def anneal_langevin_inpainting(
     rng, x_mod, refer_image, refer_mask, score_fn, sigmas, cfg: LangevinConfig,
-    grad_ref: float = 0.1,
+    grad_ref: float = 0.1, **segment_kw,
 ):
     """Masked-fill sampler (models/__init__.py:1385-1442)."""
-    return _guided_sample(rng, x_mod, score_fn, sigmas, cfg, refer_image, refer_mask, grad_ref)
+    return _guided_sample(
+        rng, x_mod, score_fn, sigmas, cfg, refer_image, refer_mask, grad_ref,
+        **segment_kw,
+    )
 
 
 def anneal_langevin_densification(
@@ -203,6 +228,11 @@ def simultaneous_inpainting_sample(
     from_world: Optional[jnp.ndarray] = None,
     return_shared: bool = False,
     score_chunks: int = 1,
+    start_level=0,
+    total_levels: Optional[int] = None,
+    sigma_last=None,
+    carry_in=None,
+    finalize: bool = True,
 ):
     """THE flagship sampler: joint multi-view inpainting with per-step
     cross-view consistency (models/__init__.py:111-602 "basic" /
@@ -212,9 +242,18 @@ def simultaneous_inpainting_sample(
     The consistency correction is applied after every Langevin step once the
     level index reaches ``min_step_to_share``; its strength follows the
     setting-dependent schedule.
+
+    Segmented execution: see :func:`_guided_sample` — ``sigmas`` may be one
+    ladder segment with ``start_level`` its absolute offset,
+    ``total_levels``/``sigma_last`` the global ladder, ``carry_in`` the
+    previous segment's ``(gl, shared)``, and ``finalize=False`` returning
+    ``(x, gl, shared)`` (+trajectory) without the final denoise/clamp.
+    Noise and the correlation schedule use absolute level indices, so
+    chunked == single-execution bitwise.
     """
     L = int(sigmas.shape[0])
-    sigma_last = sigmas[-1]
+    Ltot = L if total_levels is None else total_levels
+    sigma_last = sigmas[-1] if sigma_last is None else sigma_last
     B = x_mod.shape[0]
     A = ccfg.actual_batch_size
     G = B // A
@@ -285,7 +324,7 @@ def simultaneous_inpainting_sample(
         step_size = cfg.step_lr * (sigma / sigma_last) ** 2
         sigma_mod = jnp.maximum(sigma, 1.0)
         corr_coef = _correlation_schedule(
-            ccfg.variant, ccfg.setting, correlation_coefficient, c, L
+            ccfg.variant, ccfg.setting, correlation_coefficient, c, Ltot
         )
 
         def consistency(x, shared):
@@ -314,13 +353,21 @@ def simultaneous_inpainting_sample(
         )
         return (x, gl, shared), (x if cfg.collect_levels else None)
 
-    init = (x_mod, jnp.zeros_like(x_mod), jnp.zeros_like(x_mod))
+    if carry_in is None:
+        init = (x_mod, jnp.zeros_like(x_mod), jnp.zeros_like(x_mod))
+    else:
+        init = (x_mod, carry_in[0], carry_in[1])
     (x_mod, gl, shared), trajectory = jax.lax.scan(
-        level, init, (jnp.arange(L), sigmas)
+        level, init, (jnp.arange(L) + start_level, sigmas)
     )
 
+    if not finalize:
+        if cfg.collect_levels:
+            return x_mod, gl, shared, trajectory
+        return x_mod, gl, shared
+
     if cfg.denoise:
-        labels = jnp.full((B,), L - 1, jnp.int32)
+        labels = jnp.full((B,), Ltot - 1, jnp.int32)
         x_mod = x_mod + sigma_last**2 * score_call(x_mod, labels) + grad_ref * gl
 
     x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))

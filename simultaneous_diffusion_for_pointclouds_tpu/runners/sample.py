@@ -125,6 +125,15 @@ class SimultaneousSamplingRunner:
         # merge; score_chunks lax.maps the score forward over sub-batches
         self.sequential_groups = bool(cfg_get(config, "sampling.sequential_groups", False))
         self.score_chunks = int(cfg_get(config, "sampling.score_chunks", 1))
+        # Ladder execution chunking: one execution of the full 232-level
+        # ladder at the 42-image shape exceeds the axon tunnel's
+        # per-execute limit (~7 min observed); auto-split into segments of
+        # <=58 levels (sampling.exec_level_chunks overrides; 1 = single
+        # execution).  Chunked == unchunked bitwise: noise keys and the
+        # correlation schedule use absolute level indices.
+        self.exec_level_chunks = int(
+            cfg_get(config, "sampling.exec_level_chunks", 0)
+        )
         self.lcfg = LangevinConfig(
             n_steps_each=cfg_get(config, "sampling.n_steps_each", 5),
             step_lr=cfg_get(config, "sampling.step_lr", 6.2e-6),
@@ -146,6 +155,42 @@ class SimultaneousSamplingRunner:
         if self.mesh is None:
             return jax.jit(fn)
         return shard_simultaneous_sampler(fn, self.mesh, n_image_args)
+
+    def _ladder_segments(self):
+        """(start, length) per execution segment, or None for a single
+        execution (see ``exec_level_chunks``)."""
+        L = int(self.sigmas.shape[0])
+        k = self.exec_level_chunks or -(-L // 58)
+        if k <= 1:
+            return None
+        seglen = -(-L // k)
+        return [(s, min(seglen, L - s)) for s in range(0, L, seglen)]
+
+    def _make_finalizer(self, grad_ref: float):
+        """The sampler tail as its own small jit: optional Tweedie denoise
+        with the ladder's last sigma + the hard data-consistency step."""
+        Ltot = int(self.sigmas.shape[0])
+        sigma_last = self.sigmas[-1]
+
+        def fin(params, rng, x, refer, mask, gl):
+            score = self._score_fn(params)
+            B = x.shape[0]
+            maskf = mask.astype(x.dtype)
+            if self.lcfg.denoise:
+                labels = jnp.full((B,), Ltot - 1, jnp.int32)
+                if self.score_chunks > 1:
+                    k = self.score_chunks
+                    xc = x.reshape((k, B // k) + x.shape[1:])
+                    lc = labels.reshape(k, B // k)
+                    g = jax.lax.map(
+                        lambda a: score(a[0], a[1]), (xc, lc)
+                    ).reshape(x.shape)
+                else:
+                    g = score(x, labels)
+                x = x + sigma_last**2 * g + grad_ref * gl
+            return x + grad_ref * (-maskf * (x - refer))
+
+        return self._wrap(fin, n_image_args=4)
 
     # ------------------------------------------------------------------
     def load_params(self, ckpt_path: Optional[str] = None, rng=None):
@@ -224,32 +269,116 @@ class SimultaneousSamplingRunner:
             sequential_groups=self.sequential_groups,
         )
 
-        def run(params, rng, x, refer, mask, sky, exist, to_world, from_world, origins):
-            kw = (
+        segs = self._ladder_segments()
+        Ltot = int(self.sigmas.shape[0])
+
+        def _kw(origins, to_world, from_world):
+            return (
                 dict(origins=origins)
                 if self.variant == "offsets"
                 else dict(to_world=to_world, from_world=from_world)
             )
+
+        if segs is None:
+
+            def run(params, rng, x, refer, mask, sky, exist, to_world, from_world, origins):
+                return simultaneous_inpainting_sample(
+                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
+                    refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
+                    min_step_to_share=self.start_step, grad_ref=self.grad_ref,
+                    correlation_coefficient=self.correlation_co,
+                    score_chunks=self.score_chunks,
+                    **_kw(origins, to_world, from_world),
+                )
+
+            # 7 batch-leading args (x..from_world); per-view origins replicate
+            return self._wrap(run, n_image_args=7)
+
+        def seg_fn(params, rng, x, refer, mask, sky, exist, to_world,
+                   from_world, gl, shared, origins, sig_seg, start_level):
             return simultaneous_inpainting_sample(
-                rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
+                rng, x, self._score_fn(params), sig_seg, self.lcfg, ccfg,
                 refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
                 min_step_to_share=self.start_step, grad_ref=self.grad_ref,
                 correlation_coefficient=self.correlation_co,
-                score_chunks=self.score_chunks, **kw,
+                score_chunks=self.score_chunks,
+                start_level=start_level, total_levels=Ltot,
+                sigma_last=self.sigmas[-1], carry_in=(gl, shared),
+                finalize=False, **_kw(origins, to_world, from_world),
             )
 
-        # 7 batch-leading args (x..from_world); per-view origins replicate
-        return self._wrap(run, n_image_args=7)
+        # gl/shared are image-shaped carries: shard them like the batch
+        seg_j = self._wrap(seg_fn, n_image_args=9)
+        fin_j = self._make_finalizer(self.grad_ref)
+
+        def run_chunked(params, rng, x, refer, mask, sky, exist, to_world,
+                        from_world, origins):
+            gl = jnp.zeros_like(x)
+            shared = jnp.zeros_like(x)
+            trajs = []
+            for start, ln in segs:
+                out = seg_j(
+                    params, rng, x, refer, mask, sky, exist, to_world,
+                    from_world, gl, shared, origins,
+                    self.sigmas[start : start + ln], jnp.int32(start),
+                )
+                if self.lcfg.collect_levels:
+                    x, gl, shared, traj = out
+                    trajs.append(traj)
+                else:
+                    x, gl, shared = out
+            x = fin_j(params, rng, x, refer, mask, gl)
+            if self.lcfg.collect_levels:
+                return x, jnp.concatenate(trajs)
+            return x
+
+        return run_chunked
 
     @functools.lru_cache(maxsize=4)
     def _jit_inpainting(self):
-        def run(params, rng, x, refer, mask):
+        segs = self._ladder_segments()
+        if segs is None:
+
+            def run(params, rng, x, refer, mask):
+                return anneal_langevin_inpainting(
+                    rng, x, refer, mask, self._score_fn(params), self.sigmas,
+                    self.lcfg, grad_ref=1.0,
+                )
+
+            return self._wrap(run, n_image_args=3)
+
+        Ltot = int(self.sigmas.shape[0])
+
+        def seg_fn(params, rng, x, refer, mask, gl, sig_seg, start_level):
             return anneal_langevin_inpainting(
-                rng, x, refer, mask, self._score_fn(params), self.sigmas,
+                rng, x, refer, mask, self._score_fn(params), sig_seg,
                 self.lcfg, grad_ref=1.0,
+                start_level=start_level, total_levels=Ltot,
+                sigma_last=self.sigmas[-1], carry_in=gl, finalize=False,
             )
 
-        return self._wrap(run, n_image_args=3)
+        seg_j = self._wrap(seg_fn, n_image_args=4)
+        fin_j = self._make_finalizer(1.0)
+
+        def run_chunked(params, rng, x, refer, mask):
+            gl = jnp.zeros_like(x)
+            trajs = []
+            for start, ln in segs:
+                out = seg_j(
+                    params, rng, x, refer, mask, gl,
+                    self.sigmas[start : start + ln], jnp.int32(start),
+                )
+                if self.lcfg.collect_levels:
+                    x, gl, traj = out
+                    trajs.append(traj)
+                else:
+                    x, gl = out
+            x = fin_j(params, rng, x, refer, mask, gl)
+            if self.lcfg.collect_levels:
+                return x, jnp.concatenate(trajs)
+            return x
+
+        return run_chunked
 
     # ------------------------------------------------------------------
     def _subset_views(self, arr: np.ndarray, keep: int) -> np.ndarray:

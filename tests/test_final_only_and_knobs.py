@@ -136,3 +136,84 @@ def test_memory_knobs_identical_results():
         )
     diff = np.abs(outs["plain"] - outs["chunked"])
     assert float(np.mean(diff <= 1e-5)) > 0.999, float(diff.max())
+
+
+def test_segmented_ladder_bitwise_equal():
+    """Chunked execution (start_level/carry_in/finalize=False segments +
+    the finalizer tail) reproduces the single-execution sampler BITWISE:
+    noise keys and the correlation schedule use absolute level indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from simultaneous_diffusion_for_pointclouds_tpu.diffusion.consistency import (
+        ConsistencyConfig,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.diffusion.langevin import (
+        LangevinConfig,
+        simultaneous_inpainting_sample,
+    )
+    from simultaneous_diffusion_for_pointclouds_tpu.ops.geometry import (
+        kitti_sampler_grid,
+    )
+
+    h, w, b = 8, 32, 4
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (b, 2, h, w), jnp.float32) * 0.4 + 0.05
+    refer = jax.random.uniform(jax.random.PRNGKey(1), (b, 2, h, w), jnp.float32)
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (b, 2, h, w)) > 0.5).astype(
+        jnp.float32
+    )
+    sky = jnp.ones((b, 1, h, w), jnp.float32)
+    exist = jnp.ones((b, h, w), jnp.float32)
+    eye = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (b, 1, 1))
+    sigmas = jnp.geomspace(5.0, 0.05, 7).astype(jnp.float32)
+    cfg = LangevinConfig(n_steps_each=2, step_lr=1e-5, denoise=True, noise_scale=1.0)
+    ccfg = ConsistencyConfig(
+        grid=kitti_sampler_grid(h, w), actual_batch_size=b, setting=6,
+        variant="poses",
+    )
+    kw = dict(
+        refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
+        min_step_to_share=2, grad_ref=1.0, correlation_coefficient=0.01,
+        to_world=eye, from_world=eye,
+    )
+
+    single = simultaneous_inpainting_sample(
+        rng, x, lambda v, l: -0.1 * v, sigmas, cfg, ccfg, **kw
+    )
+
+    # 7 levels in segments of 3+3+1 (two distinct segment lengths)
+    xs, gl, shared = x, jnp.zeros_like(x), jnp.zeros_like(x)
+    for start, ln in ((0, 3), (3, 3), (6, 1)):
+        xs, gl, shared = simultaneous_inpainting_sample(
+            rng, xs, lambda v, l: -0.1 * v, sigmas[start : start + ln], cfg,
+            ccfg, start_level=jnp.int32(start), total_levels=7,
+            sigma_last=sigmas[-1], carry_in=(gl, shared), finalize=False, **kw
+        )
+    # finalizer tail (runners/sample.py:_make_finalizer)
+    labels = jnp.full((b,), 6, jnp.int32)
+    xs = xs + sigmas[-1] ** 2 * (-0.1 * xs) + 1.0 * gl
+    xs = xs + 1.0 * (-mask * (xs - refer))
+
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(xs))
+
+
+def test_runner_exec_level_chunks_identical(tmp_path):
+    """The runner's chunked ladder (exec_level_chunks > 1) produces
+    bit-identical Masked_completion outputs to the single execution."""
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    outs = {}
+    for chunks in (1, 3):
+        d = tmp_path / f"c{chunks}"
+        d.mkdir()
+        cfg = _cfg(exec_level_chunks=chunks)
+        args = argparse.Namespace(seed=0, image_folder=str(d))
+        runner = SimultaneousSamplingRunner(args, cfg, variant="poses")
+        assert (runner._ladder_segments() is None) == (chunks == 1)
+        runner.sample(max_batches=1, seed=7)
+        (f,) = glob.glob(os.path.join(d, "0_*Masked_completion*.npy"))
+        outs[chunks] = np.load(f)
+    np.testing.assert_array_equal(outs[1], outs[3])
