@@ -101,8 +101,23 @@ def simultaneous_second_method_sample(
     origins,
     raw_origins=None,
     grad_ref: float = 0.1,
+    start_level=0,
+    total_levels=None,
+    sigma_last=None,
+    carry_in=None,
+    finalize: bool = True,
 ):
     """Returns the final (B, 2, H, W) images.
+
+    Segmented execution (see langevin._guided_sample): ``sigmas`` may be a
+    ladder segment at absolute offset ``start_level`` with
+    ``total_levels``/``sigma_last`` describing the full ladder;
+    ``carry_in=(x_indices, gl, gt_med)`` resumes a previous segment and
+    ``finalize=False`` returns ``(x, ids, gl, gt_med)`` without the final
+    denoise/clamp (the initial data-consistency nudge and the setting-7
+    median only happen in segment 0; the median rides the carry).  Chunked
+    == unchunked bitwise — noise keys and the median-pull level test use
+    absolute indices.
 
     ``refer_indices``: (B, 1, H, W) or (B, H, W) float/int per-pixel point
     ids from the dataset projection (-1 where empty).
@@ -120,7 +135,48 @@ def simultaneous_second_method_sample(
     C = scfg.id_capacity or 3 * BN
     big = grid.big_rows
     L = int(sigmas.shape[0])
-    sigma_last = sigmas[-1]
+    Ltot = L if total_levels is None else total_levels
+    sigma_last = sigmas[-1] if sigma_last is None else sigma_last
+    mask = refer_mask.astype(x_mod.dtype)
+    refer_idx = refer_indices.reshape(B, H, W).astype(jnp.int32)
+    origins = jnp.asarray(origins, x_mod.dtype)
+
+    if carry_in is not None:
+        # resumed segment: the initial nudge already happened in segment 0
+        # and the setting-7 median was computed there from the INITIAL x
+        x_indices, gl_in, gt_med = carry_in
+        x_indices = x_indices.astype(jnp.int32)
+        return _second_method_levels(
+            rng, x_mod, x_indices, gl_in, gt_med, score_fn, sigmas, cfg,
+            scfg, refer_image=refer_image, mask=mask, refer_idx=refer_idx,
+            origins=origins, grad_ref=grad_ref, start_level=start_level,
+            total_levels=Ltot, sigma_last=sigma_last, finalize=finalize,
+        )
+
+    x_mod, (x_indices, gl0, gt_med) = second_method_prelude(
+        x_mod, refer_image=refer_image, refer_mask=refer_mask,
+        refer_indices=refer_indices, origins=origins,
+        raw_origins=raw_origins, scfg=scfg, grad_ref=grad_ref,
+    )
+    return _second_method_levels(
+        rng, x_mod, x_indices, gl0, gt_med, score_fn,
+        sigmas, cfg, scfg, refer_image=refer_image, mask=mask,
+        refer_idx=refer_idx, origins=origins, grad_ref=grad_ref,
+        start_level=start_level, total_levels=Ltot, sigma_last=sigma_last,
+        finalize=finalize,
+    )
+
+
+def second_method_prelude(
+    x_mod, *, refer_image, refer_mask, refer_indices, origins,
+    raw_origins=None, scfg: SecondMethodConfig, grad_ref,
+):
+    """Segment-0 initialisation, exposed for the runner's chunked-ladder
+    driver: the data-consistency nudge, the initial id image, and the
+    setting-7 GT median.  Returns ``(x, (ids, gl0, gt_med))`` — the second
+    element is exactly the ``carry_in`` a resumed segment expects."""
+    grid = scfg.grid
+    B, _, H, W = x_mod.shape
     mask = refer_mask.astype(x_mod.dtype)
     refer_idx = refer_indices.reshape(B, H, W).astype(jnp.int32)
     origins = jnp.asarray(origins, x_mod.dtype)
@@ -152,6 +208,23 @@ def simultaneous_second_method_sample(
     else:
         gt_med = jnp.zeros(3, x_mod.dtype)
 
+    return x_mod, (x_indices, jnp.zeros_like(x_mod), gt_med)
+
+
+def _second_method_levels(
+    rng, x_mod, x_indices, gl_in, gt_med, score_fn, sigmas, cfg,
+    scfg: SecondMethodConfig, *, refer_image, mask, refer_idx, origins,
+    grad_ref, start_level, total_levels, sigma_last, finalize,
+):
+    """The per-level scan + tail shared by fresh and resumed segments
+    (see :func:`simultaneous_second_method_sample`)."""
+    grid = scfg.grid
+    B, _, H, W = x_mod.shape
+    N = H * W
+    BN = B * N
+    C = scfg.id_capacity or 3 * BN
+    big = grid.big_rows
+    L = int(sigmas.shape[0])
     view_idx = jnp.arange(B, dtype=jnp.int32).reshape(B, 1)
 
     def level(carry, cs):
@@ -368,11 +441,16 @@ def simultaneous_second_method_sample(
         )
         return (x, ids, gl), None
 
-    init = (x_mod, x_indices, jnp.zeros_like(x_mod))
-    (x_mod, _, gl), _ = jax.lax.scan(level, init, (jnp.arange(L), sigmas))
+    init = (x_mod, x_indices, gl_in)
+    (x_mod, ids, gl), _ = jax.lax.scan(
+        level, init, (jnp.arange(L) + start_level, sigmas)
+    )
+
+    if not finalize:
+        return x_mod, ids, gl, gt_med
 
     if cfg.denoise:
-        labels = jnp.full((B,), L - 1, jnp.int32)
+        labels = jnp.full((B,), total_levels - 1, jnp.int32)
         x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels) + grad_ref * gl
     x_mod = x_mod + grad_ref * (-mask * (x_mod - refer_image))
     return x_mod

@@ -222,41 +222,112 @@ class SimultaneousSamplingRunner:
             simultaneous_second_method_sample,
         )
 
+        from ..diffusion.second_method import second_method_prelude
+
         scfg = SecondMethodConfig(
             grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting
         )
         groups = self.groups
 
-        def one_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
-            return simultaneous_second_method_sample(
-                rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
-                refer_image=refer, refer_mask=mask, refer_indices=indices,
-                origins=origins, raw_origins=raw_origins, grad_ref=self.grad_ref,
-            )
+        def _per_scene(fn, n_view_args, n_scene_args=0):
+            """Apply ``fn(params, rng, *view_args, *scene_args, *tail)``
+            independently per scene (the sampler's id table / cloud is
+            single-scene state — the reference only ever calls it with one
+            scene's views, ncsn_runner_basic_simultaneous.py:624): per-scene
+            id tables, per-scene reprojection, no cross-scene
+            scatter-averaging.  ``view_args`` are flat (G*A, ...) arrays
+            (reshaped per scene); ``scene_args`` are (G, ...) arrays mapped
+            as-is; outputs keep the fn's per-scene shapes under a leading G
+            axis — flatten view-batch outputs with ``_flat``."""
 
-        def run(params, rng, x, refer, mask, indices, origins, raw_origins):
+            def wrapped(params, rng, *args):
+                va = args[:n_view_args]
+                sa = args[n_view_args : n_view_args + n_scene_args]
+                tail = args[n_view_args + n_scene_args :]
+                if groups == 1:
+                    return fn(params, rng, *va, *sa, *tail)
+
+                def resh(a):
+                    return a.reshape((groups, views) + a.shape[1:])
+
+                return jax.vmap(
+                    lambda r, *m: fn(params, r, *m, *tail),
+                    in_axes=(0,) + (0,) * (n_view_args + n_scene_args),
+                )(jax.random.split(rng, groups), *(resh(a) for a in va), *sa)
+
+            return wrapped
+
+        def _flat(out):
             if groups == 1:
-                return one_scene(
-                    params, rng, x, refer, mask, indices, origins, raw_origins
-                )
-            # Multi-scene: the sampler keeps ONE shared id table / point
-            # cloud, which is single-scene state (the reference only ever
-            # calls it with one scene's views,
-            # ncsn_runner_basic_simultaneous.py:624) — so scenes are vmapped
-            # as independent problems: per-scene id tables, per-scene
-            # reprojection (A x T_scene instead of (G*A) x T_global), no
-            # cross-scene scatter-averaging.
-            def resh(a):
-                return a.reshape((groups, views) + a.shape[1:])
-
-            out = jax.vmap(one_scene, in_axes=(None, 0) + (0,) * 6)(
-                params, jax.random.split(rng, groups), resh(x), resh(refer),
-                resh(mask), resh(indices), resh(origins), resh(raw_origins),
-            )
+                return out
             return out.reshape((groups * views,) + out.shape[2:])
 
-        # all six args after (params, rng) are per-view batch-leading arrays
-        return self._wrap(run, n_image_args=6)
+        segs = self._ladder_segments()
+        Ltot = int(self.sigmas.shape[0])
+
+        if segs is None:
+
+            def one_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
+                return simultaneous_second_method_sample(
+                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
+                    refer_image=refer, refer_mask=mask, refer_indices=indices,
+                    origins=origins, raw_origins=raw_origins, grad_ref=self.grad_ref,
+                )
+
+            inner = _per_scene(one_scene, 6)
+
+            def run(params, rng, x, refer, mask, indices, origins, raw_origins):
+                return _flat(
+                    inner(params, rng, x, refer, mask, indices, origins, raw_origins)
+                )
+
+            # all six args after (params, rng) are per-view batch-leading arrays
+            return self._wrap(run, n_image_args=6)
+
+        # chunked ladder: prelude (nudge + ids + setting-7 median) once,
+        # then one compiled segment program re-used for every segment, then
+        # the shared finalizer
+        def pre_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
+            return second_method_prelude(
+                x, refer_image=refer, refer_mask=mask, refer_indices=indices,
+                origins=origins, raw_origins=raw_origins, scfg=scfg,
+                grad_ref=self.grad_ref,
+            )
+
+        def seg_scene(params, rng, x, refer, mask, indices, ids, gl,
+                      origins, raw_origins, gt_med, sig_seg, start_level):
+            return simultaneous_second_method_sample(
+                rng, x, self._score_fn(params), sig_seg, self.lcfg, scfg,
+                refer_image=refer, refer_mask=mask, refer_indices=indices,
+                origins=origins, raw_origins=raw_origins,
+                grad_ref=self.grad_ref, start_level=start_level,
+                total_levels=Ltot, sigma_last=self.sigmas[-1],
+                carry_in=(ids, gl, gt_med), finalize=False,
+            )
+
+        pre_j = self._wrap(_per_scene(pre_scene, 6), n_image_args=6)
+        seg_j = self._wrap(
+            _per_scene(seg_scene, 8, n_scene_args=1), n_image_args=8
+        )
+        fin_j = self._make_finalizer(self.grad_ref)
+
+        def run_chunked(params, rng, x, refer, mask, indices, origins, raw_origins):
+            x, (ids, gl, gt_med) = pre_j(
+                params, rng, x, refer, mask, indices, origins, raw_origins
+            )
+            x, ids, gl = _flat(x), _flat(ids), _flat(gl)  # gt_med stays (G, 3)
+            for start, ln in segs:
+                x, ids, gl, gt_med_out = seg_j(
+                    params, rng, x, refer, mask, indices, ids, gl,
+                    origins, raw_origins, gt_med,
+                    self.sigmas[start : start + ln], jnp.int32(start),
+                )
+                x, ids, gl = _flat(x), _flat(ids), _flat(gl)
+                gt_med = gt_med_out
+            # finalizer is scene-agnostic (elementwise + score forward)
+            return fin_j(params, rng, x, refer, mask, gl)
+
+        return run_chunked
 
     @functools.lru_cache(maxsize=16)
     def _jit_simultaneous(self, views: int):

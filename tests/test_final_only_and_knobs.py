@@ -217,3 +217,23 @@ def test_runner_exec_level_chunks_identical(tmp_path):
         (f,) = glob.glob(os.path.join(d, "0_*Masked_completion*.npy"))
         outs[chunks] = np.load(f)
     np.testing.assert_array_equal(outs[1], outs[3])
+
+
+def test_runner_second_method_exec_chunks_identical(tmp_path):
+    """Chunked ladder for the second-method path (prelude + carried
+    segments + finalizer, per-scene vmap with G=2) == single execution."""
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    outs = {}
+    for chunks in (1, 3):
+        d = tmp_path / f"c{chunks}"
+        d.mkdir()
+        cfg = _cfg(exec_level_chunks=chunks, method="second")
+        args = argparse.Namespace(seed=0, image_folder=str(d))
+        runner = SimultaneousSamplingRunner(args, cfg, variant="poses")
+        runner.sample(max_batches=1, seed=7)
+        (f,) = glob.glob(os.path.join(d, "0_*Masked_completion*.npy"))
+        outs[chunks] = np.load(f)
+    np.testing.assert_array_equal(outs[1], outs[3])
