@@ -57,10 +57,15 @@ def _level_noise(rng, c, s, shape, dtype, scale):
     return jax.random.normal(key, shape, dtype) * scale
 
 
-def anneal_langevin_dynamics(rng, x_mod, score_fn: ScoreFn, sigmas, cfg: LangevinConfig):
-    """Unconditional sampler (models/__init__.py:20-57). Returns final x."""
+def anneal_langevin_dynamics(
+    rng, x_mod, score_fn: ScoreFn, sigmas, cfg: LangevinConfig,
+    start_level=0, total_levels=None, sigma_last=None, finalize: bool = True,
+):
+    """Unconditional sampler (models/__init__.py:20-57). Returns final x.
+    Segmented execution as in :func:`_guided_sample` (carry is just x)."""
     L = sigmas.shape[0]
-    sigma_last = sigmas[-1]
+    Ltot = int(L) if total_levels is None else total_levels
+    sigma_last = sigmas[-1] if sigma_last is None else sigma_last
     B = x_mod.shape[0]
 
     def level(x, cs):
@@ -76,10 +81,17 @@ def anneal_langevin_dynamics(rng, x_mod, score_fn: ScoreFn, sigmas, cfg: Langevi
         x = jax.lax.fori_loop(0, cfg.n_steps_each, step, x)
         return x, (x if cfg.collect_levels else None)
 
-    x_mod, trajectory = jax.lax.scan(level, x_mod, (jnp.arange(L), sigmas))
+    x_mod, trajectory = jax.lax.scan(
+        level, x_mod, (jnp.arange(L) + start_level, sigmas)
+    )
+
+    if not finalize:
+        if cfg.collect_levels:
+            return x_mod, trajectory
+        return x_mod
 
     if cfg.denoise:
-        labels = jnp.full((B,), L - 1, jnp.int32)
+        labels = jnp.full((B,), Ltot - 1, jnp.int32)
         x_mod = x_mod + sigma_last**2 * score_fn(x_mod, labels)
     if cfg.collect_levels:
         return x_mod, trajectory

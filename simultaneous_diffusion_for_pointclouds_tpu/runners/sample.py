@@ -788,12 +788,50 @@ class SimultaneousSamplingRunner:
         params = self.load_params(ckpt_path)
         b = self.batch
         lcfg = self.lcfg
-        sampler = self._wrap(
-            lambda p, r, x: anneal_langevin_dynamics(
-                r, x, self._score_fn(p), self.sigmas, lcfg
-            ),
-            n_image_args=1,
-        )
+        segs = self._ladder_segments()
+        if segs is None:
+            sampler = self._wrap(
+                lambda p, r, x: anneal_langevin_dynamics(
+                    r, x, self._score_fn(p), self.sigmas, lcfg
+                ),
+                n_image_args=1,
+            )
+        else:
+            Ltot = int(self.sigmas.shape[0])
+            seg_j = self._wrap(
+                lambda p, r, x, sig, start: anneal_langevin_dynamics(
+                    r, x, self._score_fn(p), sig, lcfg,
+                    start_level=start, total_levels=Ltot,
+                    sigma_last=self.sigmas[-1], finalize=False,
+                ),
+                n_image_args=1,
+            )
+            fin_j = self._wrap(
+                lambda p, r, x: (
+                    x
+                    + self.sigmas[-1] ** 2
+                    * self._score_fn(p)(x, jnp.full((x.shape[0],), Ltot - 1, jnp.int32))
+                    if lcfg.denoise
+                    else x
+                ),
+                n_image_args=1,
+            )
+
+            def sampler(p, r, x):
+                trajs = []
+                for start, ln in segs:
+                    out = seg_j(
+                        p, r, x, self.sigmas[start : start + ln], jnp.int32(start)
+                    )
+                    if lcfg.collect_levels:
+                        x, traj = out
+                        trajs.append(traj)
+                    else:
+                        x = out
+                x = fin_j(p, r, x)
+                if lcfg.collect_levels:
+                    return x, jnp.concatenate(trajs)
+                return x
         rng = jax.random.PRNGKey(seed)
         if cfg_get(cfg, "sampling.data_init", False):
             from ..data.transforms import data_transform

@@ -237,3 +237,27 @@ def test_runner_second_method_exec_chunks_identical(tmp_path):
         (f,) = glob.glob(os.path.join(d, "0_*Masked_completion*.npy"))
         outs[chunks] = np.load(f)
     np.testing.assert_array_equal(outs[1], outs[3])
+
+
+def test_plain_sample_exec_chunks_identical(tmp_path):
+    """plain_sample chunked == single execution (incl. the per-level
+    trajectory dumps concatenated across segments)."""
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    outs = {}
+    for chunks in (1, 2):
+        d = tmp_path / f"c{chunks}"
+        d.mkdir()
+        cfg = _cfg(exec_level_chunks=chunks, batch_size=4, final_only=False)
+        args = argparse.Namespace(seed=0, image_folder=str(d))
+        runner = SimultaneousSamplingRunner(args, cfg, variant="offsets")
+        n = runner.plain_sample(seed=5)
+        assert n == cfg.model.num_classes + 1
+        outs[chunks] = [
+            np.load(f)
+            for f in sorted(glob.glob(os.path.join(d, "samples_*.pth.npy")))
+        ]
+    for a, b in zip(outs[1], outs[2]):
+        np.testing.assert_array_equal(a, b)
