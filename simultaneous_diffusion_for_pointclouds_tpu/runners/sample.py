@@ -158,12 +158,30 @@ class SimultaneousSamplingRunner:
 
     def _ladder_segments(self):
         """(start, length) per execution segment, or None for a single
-        execution (see ``exec_level_chunks``)."""
+        execution (see ``exec_level_chunks``).
+
+        Auto sizing: single device executions longer than ~60 s die with a
+        generic TPU device error (axon tunnel per-execute ceiling, measured
+        2026-08-17: 45 s ok, ~67 s dead), so budget ~35 s per segment using
+        the ~65 image-steps/s/chip rate at 64x1024 (PERF_NOTES.md),
+        scaled by pixel count.  Prefer a divisor of L so every segment gets
+        ONE compiled program; fall back to a ceil-split (two programs)."""
         L = int(self.sigmas.shape[0])
-        k = self.exec_level_chunks or -(-L // 58)
-        if k <= 1:
-            return None
-        seglen = -(-L // k)
+        if self.exec_level_chunks:
+            if self.exec_level_chunks <= 1:
+                return None
+            seglen = -(-L // self.exec_level_chunks)
+        else:
+            step_budget = int(2400 * 65536 / (self.rows * self.cols))
+            max_lv = max(
+                1, step_budget // (max(self.lcfg.n_steps_each, 1) * self.batch)
+            )
+            if max_lv >= L:
+                return None
+            seglen = next(
+                (d for d in range(max_lv, 0, -1) if L % d == 0 and 2 * d > max_lv),
+                max_lv,
+            )
         return [(s, min(seglen, L - s)) for s in range(0, L, seglen)]
 
     def _make_finalizer(self, grad_ref: float):
