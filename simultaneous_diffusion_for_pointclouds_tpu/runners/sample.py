@@ -728,15 +728,63 @@ class SimultaneousSamplingRunner:
             variant="offsets",
         )
 
-        def run(params, rng, x, refer, mask, sky, exist, origins, corr, gref):
+        segs = self._ladder_segments()
+        if segs is None:
+
+            def run(params, rng, x, refer, mask, sky, exist, origins, corr, gref):
+                return simultaneous_inpainting_sample(
+                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
+                    refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
+                    min_step_to_share=20, grad_ref=gref,
+                    correlation_coefficient=corr, origins=origins,
+                )
+
+            return self._wrap(run, n_image_args=5)
+
+        Ltot = int(self.sigmas.shape[0])
+
+        def seg_fn(params, rng, x, refer, mask, sky, exist, gl, shared,
+                   origins, corr, gref, sig_seg, start_level):
             return simultaneous_inpainting_sample(
-                rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
+                rng, x, self._score_fn(params), sig_seg, self.lcfg, ccfg,
                 refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
                 min_step_to_share=20, grad_ref=gref,
                 correlation_coefficient=corr, origins=origins,
+                start_level=start_level, total_levels=Ltot,
+                sigma_last=self.sigmas[-1], carry_in=(gl, shared),
+                finalize=False,
             )
 
-        return self._wrap(run, n_image_args=5)
+        seg_j = self._wrap(seg_fn, n_image_args=7)
+
+        def fin_fn(params, rng, x, refer, mask, gl, gref):
+            # grad_ref is a traced grid variant scalar here, so the shared
+            # _make_finalizer (static grad_ref) doesn't apply
+            maskf = mask.astype(x.dtype)
+            if self.lcfg.denoise:
+                labels = jnp.full((x.shape[0],), Ltot - 1, jnp.int32)
+                g = self._score_fn(params)(x, labels)
+                x = x + self.sigmas[-1] ** 2 * g + gref * gl
+            return x + gref * (-maskf * (x - refer))
+
+        fin_j = self._wrap(fin_fn, n_image_args=4)
+
+        def run_chunked(params, rng, x, refer, mask, sky, exist, origins, corr, gref):
+            gl = jnp.zeros_like(x)
+            shared = jnp.zeros_like(x)
+            for start, ln in segs:
+                out = seg_j(
+                    params, rng, x, refer, mask, sky, exist, gl, shared,
+                    origins, corr, gref,
+                    self.sigmas[start : start + ln], jnp.int32(start),
+                )
+                if self.lcfg.collect_levels:
+                    x, gl, shared, _ = out
+                else:
+                    x, gl, shared = out
+            return fin_j(params, rng, x, refer, mask, gl, gref)
+
+        return run_chunked
 
     def hyperparameter_grid_sample(self, max_batches: Optional[int] = 2, ckpt_path=None, seed=0):
         cfg = self.config

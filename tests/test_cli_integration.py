@@ -124,3 +124,27 @@ def test_cli_sample_micro(tmp_path):
     arr = np.load(outs[0])
     assert arr.ndim == 4 and arr.shape[1] == 3
     assert np.isfinite(arr).all()
+
+
+def test_hyperparameter_grid_exec_chunks_identical(tmp_path):
+    """Chunked grid ladder (traced corr/grad_ref scalars through carried
+    segments + a traced-grad_ref finalizer) == single execution."""
+    import argparse
+
+    import yaml
+
+    from simultaneous_diffusion_for_pointclouds_tpu.config import dict2namespace
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    results = {}
+    for chunks in (1, 3):
+        raw = yaml.safe_load(open(os.path.join(REPO, "configs", "micro.yml")))
+        raw["sampling"]["exec_level_chunks"] = chunks
+        cfg = dict2namespace(raw)
+        args = argparse.Namespace(seed=0, image_folder=str(tmp_path / str(chunks)))
+        runner = SimultaneousSamplingRunner(args, cfg, variant="offsets")
+        results[chunks] = runner.hyperparameter_grid_sample(max_batches=1)
+    for key, out in results[1].items():
+        np.testing.assert_array_equal(out, results[3][key])
