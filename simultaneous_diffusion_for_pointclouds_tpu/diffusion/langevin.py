@@ -199,6 +199,38 @@ def anneal_langevin_densification(
     return _guided_sample(rng, x_mod, score_fn, sigmas, cfg, refer_image, mask, grad_ref)
 
 
+def ladder_segments(
+    num_levels: int, batch: int, n_steps_each: int, rows: int, cols: int,
+    override: int = 0,
+):
+    """(start, length) execution segments for a sigma ladder, or None for a
+    single execution.
+
+    Single device executions longer than ~60 s die with a generic TPU
+    device error (axon tunnel per-execute ceiling; measured 2026-08-17:
+    45 s ok, ~67 s dead — compile time excluded), so budget ~35 s per
+    segment using the ~65 image-steps/s/chip rate at 64x1024
+    (PERF_NOTES.md) scaled by pixel count.  Prefers a divisor of L so
+    every segment shares ONE compiled program; otherwise a ceil-split
+    (two program shapes).  ``override`` forces a segment COUNT (1 =
+    single execution)."""
+    L = int(num_levels)
+    if override:
+        if override <= 1:
+            return None
+        seglen = -(-L // override)
+    else:
+        step_budget = int(2400 * 65536 / (rows * cols))
+        max_lv = max(1, step_budget // (max(n_steps_each, 1) * batch))
+        if max_lv >= L:
+            return None
+        seglen = next(
+            (d for d in range(max_lv, 0, -1) if L % d == 0 and 2 * d > max_lv),
+            max_lv,
+        )
+    return [(s, min(seglen, L - s)) for s in range(0, L, seglen)]
+
+
 def _correlation_schedule(variant: str, setting: int, base: float, c, L: int):
     """Level-dependent correlation coefficient.
 

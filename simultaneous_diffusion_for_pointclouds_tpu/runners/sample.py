@@ -36,7 +36,9 @@ from ..data.transforms import inverse_data_transform
 from ..diffusion.consistency import ConsistencyConfig, effective_origins
 from ..diffusion.langevin import (
     LangevinConfig,
+    anneal_langevin_dynamics,
     anneal_langevin_inpainting,
+    ladder_segments,
     simultaneous_inpainting_sample,
 )
 from ..diffusion.sigmas import get_sigmas
@@ -125,12 +127,12 @@ class SimultaneousSamplingRunner:
         # merge; score_chunks lax.maps the score forward over sub-batches
         self.sequential_groups = bool(cfg_get(config, "sampling.sequential_groups", False))
         self.score_chunks = int(cfg_get(config, "sampling.score_chunks", 1))
-        # Ladder execution chunking: one execution of the full 232-level
-        # ladder at the 42-image shape exceeds the axon tunnel's
-        # per-execute limit (~7 min observed); auto-split into segments of
-        # <=58 levels (sampling.exec_level_chunks overrides; 1 = single
-        # execution).  Chunked == unchunked bitwise: noise keys and the
-        # correlation schedule use absolute level indices.
+        # Ladder execution chunking: single device executions beyond ~60 s
+        # die (axon tunnel per-execute ceiling) — ladders are auto-split
+        # into ~35 s segments sized by batch and pixel count
+        # (langevin.ladder_segments; sampling.exec_level_chunks overrides,
+        # 1 = single execution).  Chunked == unchunked bitwise: noise keys
+        # and the correlation schedule use absolute level indices.
         self.exec_level_chunks = int(
             cfg_get(config, "sampling.exec_level_chunks", 0)
         )
@@ -156,33 +158,67 @@ class SimultaneousSamplingRunner:
             return jax.jit(fn)
         return shard_simultaneous_sampler(fn, self.mesh, n_image_args)
 
-    def _ladder_segments(self):
+    def _ladder_segments(self, batch=None, n_steps=None):
         """(start, length) per execution segment, or None for a single
-        execution (see ``exec_level_chunks``).
+        execution — :func:`diffusion.langevin.ladder_segments` with this
+        runner's shape and the ``sampling.exec_level_chunks`` override."""
+        return ladder_segments(
+            int(self.sigmas.shape[0]),
+            batch if batch is not None else self.batch,
+            n_steps if n_steps is not None else self.lcfg.n_steps_each,
+            self.rows, self.cols, override=self.exec_level_chunks,
+        )
 
-        Auto sizing: single device executions longer than ~60 s die with a
-        generic TPU device error (axon tunnel per-execute ceiling, measured
-        2026-08-17: 45 s ok, ~67 s dead), so budget ~35 s per segment using
-        the ~65 image-steps/s/chip rate at 64x1024 (PERF_NOTES.md),
-        scaled by pixel count.  Prefer a divisor of L so every segment gets
-        ONE compiled program; fall back to a ceil-split (two programs)."""
-        L = int(self.sigmas.shape[0])
-        if self.exec_level_chunks:
-            if self.exec_level_chunks <= 1:
-                return None
-            seglen = -(-L // self.exec_level_chunks)
-        else:
-            step_budget = int(2400 * 65536 / (self.rows * self.cols))
-            max_lv = max(
-                1, step_budget // (max(self.lcfg.n_steps_each, 1) * self.batch)
+    def _plain_sampler(self, lcfg, batch):
+        """Unconditional sampler callable (plain_sample / fast_fid),
+        ladder-chunked when the execution would exceed the ceiling."""
+        segs = self._ladder_segments(batch=batch, n_steps=lcfg.n_steps_each)
+        if segs is None:
+            return self._wrap(
+                lambda p, r, x: anneal_langevin_dynamics(
+                    r, x, self._score_fn(p), self.sigmas, lcfg
+                ),
+                n_image_args=1,
             )
-            if max_lv >= L:
-                return None
-            seglen = next(
-                (d for d in range(max_lv, 0, -1) if L % d == 0 and 2 * d > max_lv),
-                max_lv,
-            )
-        return [(s, min(seglen, L - s)) for s in range(0, L, seglen)]
+        Ltot = int(self.sigmas.shape[0])
+        seg_j = self._wrap(
+            lambda p, r, x, sig, start: anneal_langevin_dynamics(
+                r, x, self._score_fn(p), sig, lcfg,
+                start_level=start, total_levels=Ltot,
+                sigma_last=self.sigmas[-1], finalize=False,
+            ),
+            n_image_args=1,
+        )
+        fin_j = self._wrap(
+            lambda p, r, x: (
+                x
+                + self.sigmas[-1] ** 2
+                * self._score_fn(p)(
+                    x, jnp.full((x.shape[0],), Ltot - 1, jnp.int32)
+                )
+                if lcfg.denoise
+                else x
+            ),
+            n_image_args=1,
+        )
+
+        def sampler(p, r, x):
+            trajs = []
+            for start, ln in segs:
+                out = seg_j(
+                    p, r, x, self.sigmas[start : start + ln], jnp.int32(start)
+                )
+                if lcfg.collect_levels:
+                    x, traj = out
+                    trajs.append(traj)
+                else:
+                    x = out
+            x = fin_j(p, r, x)
+            if lcfg.collect_levels:
+                return x, jnp.concatenate(trajs)
+            return x
+
+        return sampler
 
     def _make_finalizer(self, grad_ref: float):
         """The sampler tail as its own small jit: optional Tweedie denoise
@@ -846,7 +882,6 @@ class SimultaneousSamplingRunner:
         reference keeps one per inner step), ready for
         eval.visualization.render_step_movie.  Supports ``sampling.data_init``
         (init from a test batch + sigma_0 noise, ncsn_runner.py:484-494)."""
-        from ..diffusion.langevin import anneal_langevin_dynamics
 
         cfg = self.config
         args = self.args
@@ -854,50 +889,7 @@ class SimultaneousSamplingRunner:
         params = self.load_params(ckpt_path)
         b = self.batch
         lcfg = self.lcfg
-        segs = self._ladder_segments()
-        if segs is None:
-            sampler = self._wrap(
-                lambda p, r, x: anneal_langevin_dynamics(
-                    r, x, self._score_fn(p), self.sigmas, lcfg
-                ),
-                n_image_args=1,
-            )
-        else:
-            Ltot = int(self.sigmas.shape[0])
-            seg_j = self._wrap(
-                lambda p, r, x, sig, start: anneal_langevin_dynamics(
-                    r, x, self._score_fn(p), sig, lcfg,
-                    start_level=start, total_levels=Ltot,
-                    sigma_last=self.sigmas[-1], finalize=False,
-                ),
-                n_image_args=1,
-            )
-            fin_j = self._wrap(
-                lambda p, r, x: (
-                    x
-                    + self.sigmas[-1] ** 2
-                    * self._score_fn(p)(x, jnp.full((x.shape[0],), Ltot - 1, jnp.int32))
-                    if lcfg.denoise
-                    else x
-                ),
-                n_image_args=1,
-            )
-
-            def sampler(p, r, x):
-                trajs = []
-                for start, ln in segs:
-                    out = seg_j(
-                        p, r, x, self.sigmas[start : start + ln], jnp.int32(start)
-                    )
-                    if lcfg.collect_levels:
-                        x, traj = out
-                        trajs.append(traj)
-                    else:
-                        x = out
-                x = fin_j(p, r, x)
-                if lcfg.collect_levels:
-                    return x, jnp.concatenate(trajs)
-                return x
+        sampler = self._plain_sampler(lcfg, b)
         rng = jax.random.PRNGKey(seed)
         if cfg_get(cfg, "sampling.data_init", False):
             from ..data.transforms import data_transform
@@ -941,7 +933,6 @@ class SimultaneousSamplingRunner:
     def fast_fid(self, ckpt_path=None, seed=0):
         """Unconditional batch sampling for FID evaluation
         (ncsn_runner.py fast_fid; config section fast_fid)."""
-        from ..diffusion.langevin import anneal_langevin_dynamics
 
         cfg = self.config
         args = self.args
@@ -954,12 +945,7 @@ class SimultaneousSamplingRunner:
             step_lr=cfg_get(cfg, "fast_fid.step_lr", 6.2e-6),
             denoise=cfg_get(cfg, "sampling.denoise", True),
         )
-        sampler = self._wrap(
-            lambda p, r, x: anneal_langevin_dynamics(
-                r, x, self._score_fn(p), self.sigmas, lcfg
-            ),
-            n_image_args=1,
-        )
+        sampler = self._plain_sampler(lcfg, bs)
         rng = jax.random.PRNGKey(seed)
         done = 0
         while done < n:

@@ -259,7 +259,11 @@ class CurriculumTrainer:
         import os
 
         from ..data.transforms import inverse_data_transform
-        from ..diffusion.langevin import LangevinConfig, anneal_langevin_dynamics
+        from ..diffusion.langevin import (
+            LangevinConfig,
+            anneal_langevin_dynamics,
+            ladder_segments,
+        )
         from ..utils.images import save_sample_grid
 
         cfg = self.config
@@ -276,7 +280,24 @@ class CurriculumTrainer:
             n_steps_each=self.n_steps_each, step_lr=self.step_lr,
             denoise=cfg_get(cfg, "sampling.denoise", True),
         )
-        sample = anneal_langevin_dynamics(rng, init, score_fn, self.sigmas, lcfg)
+        L = int(self.sigmas.shape[0])
+        segs = ladder_segments(L, 36, lcfg.n_steps_each, h, w)
+        if segs is None:
+            sample = anneal_langevin_dynamics(rng, init, score_fn, self.sigmas, lcfg)
+        else:
+            # per-execute ceiling (see ladder_segments): run the ladder in
+            # carried segments, then the denoise tail
+            x = init
+            for start, ln in segs:
+                x = anneal_langevin_dynamics(
+                    rng, x, score_fn, self.sigmas[start : start + ln], lcfg,
+                    start_level=jnp.int32(start), total_levels=L,
+                    sigma_last=self.sigmas[-1], finalize=False,
+                )
+            if lcfg.denoise:
+                labels = jnp.full((x.shape[0],), L - 1, jnp.int32)
+                x = x + self.sigmas[-1] ** 2 * score_fn(x, labels)
+            sample = x
         sample = np.asarray(inverse_data_transform(cfg, sample))
         sample_dir = os.path.join(log_path, "samples")
         os.makedirs(sample_dir, exist_ok=True)
