@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -42,6 +43,21 @@ from ..models import ema_init, ema_update, get_model, get_optimizer
 from ..parallel import maybe_mesh, shard_base_step, shard_train_step
 from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging_utils import MetricsLogger
+
+
+def _stop_requested(log_path, t0, max_seconds) -> bool:
+    """Graceful time-bounded training: stop when ``training.max_seconds``
+    of wall clock have elapsed or when a ``STOP`` file appears in the log
+    dir (lets an operator end a long run cleanly — never SIGKILL a process
+    mid-TPU-execution, see CLAUDE.md).  A final checkpoint is written by
+    the caller before returning."""
+    if max_seconds is not None and time.time() - t0 > max_seconds:
+        logging.info("training.max_seconds (%s) reached; stopping", max_seconds)
+        return True
+    if log_path and os.path.exists(os.path.join(log_path, "STOP")):
+        logging.info("STOP file found in %s; stopping", log_path)
+        return True
+    return False
 
 
 class CurriculumTrainer:
@@ -195,6 +211,7 @@ class CurriculumTrainer:
         step = true_step = 0
         test_iter = iter(test_loader)
         t0 = time.time()
+        max_seconds = cfg_get(cfg, "training.max_seconds", None)
 
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
@@ -222,7 +239,7 @@ class CurriculumTrainer:
                             "step: %d, timestep: %d, loss: %.5f (%.2f s)",
                             step, timestep, float(loss), time.time() - t0,
                         )
-                    if step >= n_iters:
+                    if step >= n_iters or _stop_requested(log_path, t0, max_seconds):
                         save_checkpoint(log_path, state, step) if log_path else None
                         metrics.close()
                         return state
@@ -465,6 +482,8 @@ class ThreeDNoiseTrainer(CurriculumTrainer):
         max_reachable = 1
         step = true_step = 0
         origins = self.mods3d * self.sigmas[0]
+        t0 = time.time()
+        max_seconds = cfg_get(cfg, "training.max_seconds", None)
 
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
@@ -495,12 +514,14 @@ class ThreeDNoiseTrainer(CurriculumTrainer):
                         max_reachable += 1
                     if log_path and true_step % snapshot_freq == 0:
                         save_checkpoint(log_path, state, step)
-                    if step >= n_iters and timestep == max_reachable - 1:
+                    if (
+                        step >= n_iters and timestep == max_reachable - 1
+                    ) or _stop_requested(log_path, t0, max_seconds):
                         if log_path:
                             save_checkpoint(log_path, state, step)
                         metrics.close()
                         return state
-                if step >= n_iters:
+                if step >= n_iters or _stop_requested(log_path, t0, max_seconds):
                     if log_path:
                         save_checkpoint(log_path, state, step)
                     metrics.close()
@@ -590,6 +611,8 @@ class BaseTrainer(CurriculumTrainer):
         snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 5000)
         test_iter = iter(test_loader)
         step = 0
+        t0 = time.time()
+        max_seconds = cfg_get(cfg, "training.max_seconds", None)
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
                 step += 1
@@ -616,7 +639,7 @@ class BaseTrainer(CurriculumTrainer):
                     save_checkpoint(log_path, state, step)
                     if cfg_get(cfg, "training.snapshot_sampling", False):
                         self._snapshot_sample(state, rng, step, log_path)
-                if step >= n_iters:
+                if step >= n_iters or _stop_requested(log_path, t0, max_seconds):
                     if log_path:
                         save_checkpoint(log_path, state, step)
                     metrics.close()
