@@ -137,8 +137,88 @@ class HDVMineGenerate:
         )
 
 
-class HDVMineGenerateFromIndividualScans(HDVMineGenerate):
-    """Per-scan h5 variant (``HDVMineGenerateFromInvidivualScans.py``)."""
+class HDVMineGenerateFromIndividualScans:
+    """Per-scan raw-npy variant (``HDVMineGenerateFromInvidivualScans.py:
+    13-110``): ``RawScans/Scans/*.npy`` point clouds with per-scan origins
+    at ``RawScans/Origins/<name>``, 60/40 train/test split over the file
+    list, ``sampling.batch_size`` views per scan at ``origin +
+    modifications[view] * modScale``.
+
+    Reference quirks reproduced: the scan index is overridden to a fixed
+    scan (":91 scanOrigin = 2" — ``data.scan_override``, clamped to the
+    available scans) while ``modScale`` still follows the pre-override scan
+    index + 1; one corrupt file is skipped by name (:46-48); intensity is
+    /2000 here (:147, not the pregenerated family's /5000); the sky mask is
+    shifted down via three single-row shifts (:136-139)."""
+
+    SKIPPED = "20100603 penrice_stn15_nth_C8L_02.npy"
+
+    def __init__(self, config, split: str = "train"):
+        self.views = cfg_get(config, "sampling.batch_size", 8)
+        self.rows = cfg_get(config, "data.image_size", 64)
+        self.cols = cfg_get(config, "data.image_width", 1024)
+        self.random_roll = cfg_get(config, "data.random_roll", False)
+        self.modifications = np.asarray(
+            cfg_get(config, "data.modifications", [[0.0, 0.0, 0.0]]), np.float64
+        )
+        self.scan_override = cfg_get(config, "data.scan_override", 2)
+        root = cfg_get(config, "data.rawscans_root", "RawScans")
+        files = sorted(glob(os.path.join(root, "Scans", "*.npy")))
+        split_at = len(files) * 6 // 10
+        files = files[:split_at] if split == "train" else files[split_at:]
+        self.points = []
+        self.origins = []
+        for path in files:
+            name = os.path.basename(path)
+            if name == self.SKIPPED:
+                continue
+            self.points.append(np.load(path))
+            self.origins.append(np.load(os.path.join(root, "Origins", name)))
+
+    def __len__(self):
+        return len(self.points) * self.views
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        scan = (idx // self.views) % len(self.points)
+        mod_scale = float(scan + 1)
+        if self.scan_override is not None:
+            scan = min(int(self.scan_override), len(self.points) - 1)
+        view = idx % self.views
+        origin = (
+            np.asarray(self.origins[scan], np.float64)
+            + self.modifications[view % len(self.modifications)] * mod_scale
+        )
+        img = project_point_cloud(self.points[scan], origin, self.rows, self.cols)
+
+        real = img.depth.copy()
+        mask = img.mask.astype(np.int64)
+        mask = np.where(real >= MAX_RANGE, 1, mask)
+        real = np.where(real >= MAX_RANGE, 0.0, real) + 0.0001
+        real = np.clip(np.log2(real + 1.0) / LOG_DIV_MINE, 0, 1)
+        intensity = img.intensity / 2000.0
+        mask = np.where(intensity >= 1, 1, mask)
+        intensity = np.clip(np.where(intensity >= 1, 0, intensity) + 0.0001, 0, 1.0)
+        sky = img.sky.copy()
+        for _ in range(3):  # exact triple row-shift (:136-139)
+            sky[1:] = sky[:-1]
+        index = img.indices
+        if self.random_roll:
+            roll = np.random.randint(self.cols)
+            real = np.roll(real, roll, axis=1)
+            mask = np.roll(mask, roll, axis=1)
+            sky = np.roll(sky, roll, axis=1)
+            intensity = np.roll(intensity, roll, axis=1)
+            index = np.roll(index, roll, axis=1)
+        real2 = np.stack([real, intensity]).astype(np.float32)
+        mask2 = np.stack([mask, mask])
+        return dict(
+            real=real2,
+            known=np.logical_not(mask2).astype(np.float32),
+            sky=np.logical_not(sky)[None].astype(np.float32),
+            index=index[None].astype(np.float32),
+            mod_scale=np.float32(mod_scale),
+            scan_id=np.int64(scan),
+        )
 
 
 def get_hdvmine_dataset(name: str, config):

@@ -36,18 +36,22 @@ class KITTIRaw:
             self.full_list = list(range(scan_provider.num_frames))
             return
         root = cfg_get(config, "data.root", os.environ.get("KITTI360_DATASET", "/data/KITTI-360"))
+        self.full_list = self._discover(root, split)
+
+    def _discover(self, root, split):
+        """File listing + split; subclasses override for their layouts."""
         full_list = glob(os.path.join(root, "data_3d_raw/*/velodyne_points/data/*.bin"))
         if split == "train":
-            self.full_list = [
+            return [
                 f for f in full_list if "0000_sync" not in f and "0001_sync" not in f
             ]
-        else:
-            self.full_list = [
-                f for f in full_list if "0000_sync" in f or "0001_sync" in f
-            ]
+        return [f for f in full_list if "0000_sync" in f or "0001_sync" in f]
 
     def __len__(self):
         return len(self.full_list)
+
+    def _scale(self, real):
+        return np.log2(real + 1.0) / 6.0
 
     def _scan(self, idx):
         if self._provider is not None:
@@ -60,7 +64,7 @@ class KITTIRaw:
             scan, self.rows, self.cols, self.fov_up, self.fov_down
         )
         real = np.where(rng_img < 0, 0, rng_img) + 0.0001
-        real = np.clip(np.log2(real + 1.0) / 6.0, 0, 1)
+        real = np.clip(self._scale(real), 0, 1)
         roll = np.random.randint(self.cols) if self.random_roll else 0
         if self.random_roll:
             real = np.roll(real, roll, axis=1)
@@ -93,10 +97,38 @@ class KITTIGetMissing(KITTIRaw):
 
 
 class NuScenesDataset(KITTIRaw):
-    """datasets/nuscenes.py: 32x1024 grid, +10..-30 deg FoV, 5-float scans."""
+    """datasets/nuscenes.py: 32x1024 grid, +10..-30 deg FoV, 5-float scans.
+
+    Debugged redesign of the reference's discovery: the reference globs a
+    hardcoded ``.../nuscenes/extracted/sweeps/LIDAR_TOP/*`` for train and
+    returns an EMPTY list for every other split (nuscenes.py:172-178); here
+    ``data.root`` points at the nuScenes root, both ``sweeps/`` and
+    ``samples/`` LIDAR_TOP listings are used, and a deterministic 90/10
+    train/test split is applied.  Range compression is the reference's
+    ``log2(d+1)/6.5`` (nuscenes.py:203 — not KITTI's /6), or linear /104
+    when ``data.lidar_scaling: linear`` (:205)."""
 
     rows, cols = 32, 1024
     fov_up, fov_down = 10.0, -30.0
+
+    def __init__(self, config, split: str = "train", scan_provider=None):
+        self.linear_scaling = (
+            cfg_get(config, "data.lidar_scaling", "log") == "linear"
+        )
+        super().__init__(config, split, scan_provider)
+
+    def _discover(self, root, split):
+        files = sorted(
+            glob(os.path.join(root, "sweeps", "LIDAR_TOP", "*.pcd.bin"))
+            + glob(os.path.join(root, "samples", "LIDAR_TOP", "*.pcd.bin"))
+        )
+        split_at = len(files) * 9 // 10
+        return files[:split_at] if split == "train" else files[split_at:]
+
+    def _scale(self, real):
+        if self.linear_scaling:
+            return real / 104.0
+        return np.log2(real + 1.0) / 6.5
 
     def _scan(self, idx):
         if self._provider is not None:

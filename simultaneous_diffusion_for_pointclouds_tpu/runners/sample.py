@@ -15,15 +15,17 @@ plain per-view inpainting baseline — saving reference-compatible outputs:
 
 Wall-clock per variant is accumulated exactly like the reference's
 ``timeTaken`` instrumentation (:526,704-772) — this is the benchmark hook.
+
+The jitted sampler programs (and the ladder-segment chunking they share)
+live in :mod:`runners.chunking`; this module holds the data/file flows.
 """
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,21 +35,15 @@ from ..config import cfg_get
 from ..data.loader import BatchLoader, SceneBlockSampler
 from ..data.registry import get_dataset
 from ..data.transforms import inverse_data_transform
-from ..diffusion.consistency import ConsistencyConfig, effective_origins
-from ..diffusion.langevin import (
-    LangevinConfig,
-    anneal_langevin_dynamics,
-    anneal_langevin_inpainting,
-    ladder_segments,
-    simultaneous_inpainting_sample,
-)
+from ..diffusion.consistency import effective_origins
+from ..diffusion.langevin import LangevinConfig
 from ..diffusion.sigmas import get_sigmas
 from ..models import get_model
 from ..ops.geometry import kitti_sampler_grid
-from ..parallel import maybe_mesh, shard_simultaneous_sampler
+from ..parallel import maybe_mesh
 from ..utils.checkpoint import load_score_params
 from ..utils.images import save_sample_grid, two_channel_to_tiles
-from ..utils.logging_utils import setup_logging
+from .chunking import SamplerPrograms
 
 
 # The reference's only checked-in data fixture: per-pixel return counts used
@@ -90,7 +86,7 @@ def build_exist_mask(path: Optional[str], batch: int, rows: int, cols: int) -> n
     return np.tile(mask[None], (batch, 1, 1)).astype(np.float32)
 
 
-class SimultaneousSamplingRunner:
+class SimultaneousSamplingRunner(SamplerPrograms):
     """variant="poses" -> Line/8batch (pose matrices); variant="offsets" ->
     AllForOne / Completion (per-view origin offsets)."""
 
@@ -150,102 +146,6 @@ class SimultaneousSamplingRunner:
         if self.mesh is not None:
             logging.info("sampling over mesh %s", self.mesh)
 
-    def _wrap(self, fn, n_image_args: int):
-        """jit ``fn`` — through the mesh (batch sharded over (data, view),
-        params replicated) when one is configured, plain ``jax.jit``
-        otherwise."""
-        if self.mesh is None:
-            return jax.jit(fn)
-        return shard_simultaneous_sampler(fn, self.mesh, n_image_args)
-
-    def _ladder_segments(self, batch=None, n_steps=None):
-        """(start, length) per execution segment, or None for a single
-        execution — :func:`diffusion.langevin.ladder_segments` with this
-        runner's shape and the ``sampling.exec_level_chunks`` override."""
-        return ladder_segments(
-            int(self.sigmas.shape[0]),
-            batch if batch is not None else self.batch,
-            n_steps if n_steps is not None else self.lcfg.n_steps_each,
-            self.rows, self.cols, override=self.exec_level_chunks,
-        )
-
-    def _plain_sampler(self, lcfg, batch):
-        """Unconditional sampler callable (plain_sample / fast_fid),
-        ladder-chunked when the execution would exceed the ceiling."""
-        segs = self._ladder_segments(batch=batch, n_steps=lcfg.n_steps_each)
-        if segs is None:
-            return self._wrap(
-                lambda p, r, x: anneal_langevin_dynamics(
-                    r, x, self._score_fn(p), self.sigmas, lcfg
-                ),
-                n_image_args=1,
-            )
-        Ltot = int(self.sigmas.shape[0])
-        seg_j = self._wrap(
-            lambda p, r, x, sig, start: anneal_langevin_dynamics(
-                r, x, self._score_fn(p), sig, lcfg,
-                start_level=start, total_levels=Ltot,
-                sigma_last=self.sigmas[-1], finalize=False,
-            ),
-            n_image_args=1,
-        )
-        fin_j = self._wrap(
-            lambda p, r, x: (
-                x
-                + self.sigmas[-1] ** 2
-                * self._score_fn(p)(
-                    x, jnp.full((x.shape[0],), Ltot - 1, jnp.int32)
-                )
-                if lcfg.denoise
-                else x
-            ),
-            n_image_args=1,
-        )
-
-        def sampler(p, r, x):
-            trajs = []
-            for start, ln in segs:
-                out = seg_j(
-                    p, r, x, self.sigmas[start : start + ln], jnp.int32(start)
-                )
-                if lcfg.collect_levels:
-                    x, traj = out
-                    trajs.append(traj)
-                else:
-                    x = out
-            x = fin_j(p, r, x)
-            if lcfg.collect_levels:
-                return x, jnp.concatenate(trajs)
-            return x
-
-        return sampler
-
-    def _make_finalizer(self, grad_ref: float):
-        """The sampler tail as its own small jit: optional Tweedie denoise
-        with the ladder's last sigma + the hard data-consistency step."""
-        Ltot = int(self.sigmas.shape[0])
-        sigma_last = self.sigmas[-1]
-
-        def fin(params, rng, x, refer, mask, gl):
-            score = self._score_fn(params)
-            B = x.shape[0]
-            maskf = mask.astype(x.dtype)
-            if self.lcfg.denoise:
-                labels = jnp.full((B,), Ltot - 1, jnp.int32)
-                if self.score_chunks > 1:
-                    k = self.score_chunks
-                    xc = x.reshape((k, B // k) + x.shape[1:])
-                    lc = labels.reshape(k, B // k)
-                    g = jax.lax.map(
-                        lambda a: score(a[0], a[1]), (xc, lc)
-                    ).reshape(x.shape)
-                else:
-                    g = score(x, labels)
-                x = x + sigma_last**2 * g + grad_ref * gl
-            return x + grad_ref * (-maskf * (x - refer))
-
-        return self._wrap(fin, n_image_args=4)
-
     # ------------------------------------------------------------------
     def load_params(self, ckpt_path: Optional[str] = None, rng=None):
         ckpt_path = ckpt_path or cfg_get(self.config, "sampling.ckpt_path", None)
@@ -257,253 +157,6 @@ class SimultaneousSamplingRunner:
         logging.warning("no checkpoint found (%s); using random init", ckpt_path)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         return self.model.init(rng, example, labels)["params"]
-
-    def _score_fn(self, params):
-        def score(x, labels):
-            return self.model.apply({"params": params}, x, labels)
-
-        return score
-
-    # jitted entry points, cached per views-count ----------------------
-    @functools.lru_cache(maxsize=16)
-    def _jit_second_method(self, views: int):
-        """3D-noise sampler (config ``sampling.method: second``); the
-        reference dispatches it for doThis>=8 (dead in the shipped ranges)
-        but it is a first-class method here."""
-        from ..diffusion.second_method import (
-            SecondMethodConfig,
-            mine_sampler_grid,
-            simultaneous_second_method_sample,
-        )
-
-        from ..diffusion.second_method import second_method_prelude
-
-        scfg = SecondMethodConfig(
-            grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting
-        )
-        groups = self.groups
-
-        def _per_scene(fn, n_view_args, n_scene_args=0):
-            """Apply ``fn(params, rng, *view_args, *scene_args, *tail)``
-            independently per scene (the sampler's id table / cloud is
-            single-scene state — the reference only ever calls it with one
-            scene's views, ncsn_runner_basic_simultaneous.py:624): per-scene
-            id tables, per-scene reprojection, no cross-scene
-            scatter-averaging.  ``view_args`` are flat (G*A, ...) arrays
-            (reshaped per scene); ``scene_args`` are (G, ...) arrays mapped
-            as-is; outputs keep the fn's per-scene shapes under a leading G
-            axis — flatten view-batch outputs with ``_flat``."""
-
-            def wrapped(params, rng, *args):
-                va = args[:n_view_args]
-                sa = args[n_view_args : n_view_args + n_scene_args]
-                tail = args[n_view_args + n_scene_args :]
-                if groups == 1:
-                    return fn(params, rng, *va, *sa, *tail)
-
-                def resh(a):
-                    return a.reshape((groups, views) + a.shape[1:])
-
-                return jax.vmap(
-                    lambda r, *m: fn(params, r, *m, *tail),
-                    in_axes=(0,) + (0,) * (n_view_args + n_scene_args),
-                )(jax.random.split(rng, groups), *(resh(a) for a in va), *sa)
-
-            return wrapped
-
-        def _flat(out):
-            if groups == 1:
-                return out
-            return out.reshape((groups * views,) + out.shape[2:])
-
-        segs = self._ladder_segments()
-        Ltot = int(self.sigmas.shape[0])
-
-        if segs is None:
-
-            def one_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
-                return simultaneous_second_method_sample(
-                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
-                    refer_image=refer, refer_mask=mask, refer_indices=indices,
-                    origins=origins, raw_origins=raw_origins, grad_ref=self.grad_ref,
-                )
-
-            inner = _per_scene(one_scene, 6)
-
-            def run(params, rng, x, refer, mask, indices, origins, raw_origins):
-                return _flat(
-                    inner(params, rng, x, refer, mask, indices, origins, raw_origins)
-                )
-
-            # all six args after (params, rng) are per-view batch-leading arrays
-            return self._wrap(run, n_image_args=6)
-
-        # chunked ladder: prelude (nudge + ids + setting-7 median) once,
-        # then one compiled segment program re-used for every segment, then
-        # the shared finalizer
-        def pre_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
-            return second_method_prelude(
-                x, refer_image=refer, refer_mask=mask, refer_indices=indices,
-                origins=origins, raw_origins=raw_origins, scfg=scfg,
-                grad_ref=self.grad_ref,
-            )
-
-        def seg_scene(params, rng, x, refer, mask, indices, ids, gl,
-                      origins, raw_origins, gt_med, sig_seg, start_level):
-            return simultaneous_second_method_sample(
-                rng, x, self._score_fn(params), sig_seg, self.lcfg, scfg,
-                refer_image=refer, refer_mask=mask, refer_indices=indices,
-                origins=origins, raw_origins=raw_origins,
-                grad_ref=self.grad_ref, start_level=start_level,
-                total_levels=Ltot, sigma_last=self.sigmas[-1],
-                carry_in=(ids, gl, gt_med), finalize=False,
-            )
-
-        pre_j = self._wrap(_per_scene(pre_scene, 6), n_image_args=6)
-        seg_j = self._wrap(
-            _per_scene(seg_scene, 8, n_scene_args=1), n_image_args=8
-        )
-        fin_j = self._make_finalizer(self.grad_ref)
-
-        def run_chunked(params, rng, x, refer, mask, indices, origins, raw_origins):
-            x, (ids, gl, gt_med) = pre_j(
-                params, rng, x, refer, mask, indices, origins, raw_origins
-            )
-            x, ids, gl = _flat(x), _flat(ids), _flat(gl)  # gt_med stays (G, 3)
-            for start, ln in segs:
-                x, ids, gl, gt_med_out = seg_j(
-                    params, rng, x, refer, mask, indices, ids, gl,
-                    origins, raw_origins, gt_med,
-                    self.sigmas[start : start + ln], jnp.int32(start),
-                )
-                x, ids, gl = _flat(x), _flat(ids), _flat(gl)
-                gt_med = gt_med_out
-            # finalizer is scene-agnostic (elementwise + score forward)
-            return fin_j(params, rng, x, refer, mask, gl)
-
-        return run_chunked
-
-    @functools.lru_cache(maxsize=16)
-    def _jit_simultaneous(self, views: int):
-        ccfg = ConsistencyConfig(
-            grid=self.grid,
-            actual_batch_size=views,
-            setting=self.setting,
-            allowance=float(self.allowance),
-            variant=self.variant,
-            sequential_groups=self.sequential_groups,
-        )
-
-        segs = self._ladder_segments()
-        Ltot = int(self.sigmas.shape[0])
-
-        def _kw(origins, to_world, from_world):
-            return (
-                dict(origins=origins)
-                if self.variant == "offsets"
-                else dict(to_world=to_world, from_world=from_world)
-            )
-
-        if segs is None:
-
-            def run(params, rng, x, refer, mask, sky, exist, to_world, from_world, origins):
-                return simultaneous_inpainting_sample(
-                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
-                    refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
-                    min_step_to_share=self.start_step, grad_ref=self.grad_ref,
-                    correlation_coefficient=self.correlation_co,
-                    score_chunks=self.score_chunks,
-                    **_kw(origins, to_world, from_world),
-                )
-
-            # 7 batch-leading args (x..from_world); per-view origins replicate
-            return self._wrap(run, n_image_args=7)
-
-        def seg_fn(params, rng, x, refer, mask, sky, exist, to_world,
-                   from_world, gl, shared, origins, sig_seg, start_level):
-            return simultaneous_inpainting_sample(
-                rng, x, self._score_fn(params), sig_seg, self.lcfg, ccfg,
-                refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
-                min_step_to_share=self.start_step, grad_ref=self.grad_ref,
-                correlation_coefficient=self.correlation_co,
-                score_chunks=self.score_chunks,
-                start_level=start_level, total_levels=Ltot,
-                sigma_last=self.sigmas[-1], carry_in=(gl, shared),
-                finalize=False, **_kw(origins, to_world, from_world),
-            )
-
-        # gl/shared are image-shaped carries: shard them like the batch
-        seg_j = self._wrap(seg_fn, n_image_args=9)
-        fin_j = self._make_finalizer(self.grad_ref)
-
-        def run_chunked(params, rng, x, refer, mask, sky, exist, to_world,
-                        from_world, origins):
-            gl = jnp.zeros_like(x)
-            shared = jnp.zeros_like(x)
-            trajs = []
-            for start, ln in segs:
-                out = seg_j(
-                    params, rng, x, refer, mask, sky, exist, to_world,
-                    from_world, gl, shared, origins,
-                    self.sigmas[start : start + ln], jnp.int32(start),
-                )
-                if self.lcfg.collect_levels:
-                    x, gl, shared, traj = out
-                    trajs.append(traj)
-                else:
-                    x, gl, shared = out
-            x = fin_j(params, rng, x, refer, mask, gl)
-            if self.lcfg.collect_levels:
-                return x, jnp.concatenate(trajs)
-            return x
-
-        return run_chunked
-
-    @functools.lru_cache(maxsize=4)
-    def _jit_inpainting(self):
-        segs = self._ladder_segments()
-        if segs is None:
-
-            def run(params, rng, x, refer, mask):
-                return anneal_langevin_inpainting(
-                    rng, x, refer, mask, self._score_fn(params), self.sigmas,
-                    self.lcfg, grad_ref=1.0,
-                )
-
-            return self._wrap(run, n_image_args=3)
-
-        Ltot = int(self.sigmas.shape[0])
-
-        def seg_fn(params, rng, x, refer, mask, gl, sig_seg, start_level):
-            return anneal_langevin_inpainting(
-                rng, x, refer, mask, self._score_fn(params), sig_seg,
-                self.lcfg, grad_ref=1.0,
-                start_level=start_level, total_levels=Ltot,
-                sigma_last=self.sigmas[-1], carry_in=gl, finalize=False,
-            )
-
-        seg_j = self._wrap(seg_fn, n_image_args=4)
-        fin_j = self._make_finalizer(1.0)
-
-        def run_chunked(params, rng, x, refer, mask):
-            gl = jnp.zeros_like(x)
-            trajs = []
-            for start, ln in segs:
-                out = seg_j(
-                    params, rng, x, refer, mask, gl,
-                    self.sigmas[start : start + ln], jnp.int32(start),
-                )
-                if self.lcfg.collect_levels:
-                    x, gl, traj = out
-                    trajs.append(traj)
-                else:
-                    x, gl = out
-            x = fin_j(params, rng, x, refer, mask, gl)
-            if self.lcfg.collect_levels:
-                return x, jnp.concatenate(trajs)
-            return x
-
-        return run_chunked
 
     # ------------------------------------------------------------------
     def _subset_views(self, arr: np.ndarray, keep: int) -> np.ndarray:
@@ -745,83 +398,6 @@ class SimultaneousSamplingRunner:
         return time_taken
 
     # ------------------------------------------------------------------
-    # hyperparameter-grid ablation (NCSNRunnerBasicSimultaneous.sample,
-    # ncsn_runner_basic_simultaneous.py:495-565): six (correlation, gradRef)
-    # variants incl. the correlation=0 pure-independent baseline, setting 4,
-    # startStep 20, offset origins from config modifications.
-    GRID_VARIANTS = [
-        (0.05, 1.0), (0.05, 0.9), (0.1, 0.9), (0.0, 0.5), (0.1, 0.5), (0.1, 0.25),
-    ]
-
-    @functools.lru_cache(maxsize=4)
-    def _jit_grid(self, views: int):
-        """One cached jit for all six grid variants: ``correlation`` and
-        ``grad_ref`` are purely-arithmetic scalars in the sampler, so they
-        are traced arguments — no recompile per variant (the reference's
-        setting-4 schedule reduces to the constant base, langevin.py:178)."""
-        ccfg = ConsistencyConfig(
-            grid=self.grid, actual_batch_size=views, setting=4,
-            variant="offsets",
-        )
-
-        segs = self._ladder_segments()
-        if segs is None:
-
-            def run(params, rng, x, refer, mask, sky, exist, origins, corr, gref):
-                return simultaneous_inpainting_sample(
-                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, ccfg,
-                    refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
-                    min_step_to_share=20, grad_ref=gref,
-                    correlation_coefficient=corr, origins=origins,
-                )
-
-            return self._wrap(run, n_image_args=5)
-
-        Ltot = int(self.sigmas.shape[0])
-
-        def seg_fn(params, rng, x, refer, mask, sky, exist, gl, shared,
-                   origins, corr, gref, sig_seg, start_level):
-            return simultaneous_inpainting_sample(
-                rng, x, self._score_fn(params), sig_seg, self.lcfg, ccfg,
-                refer_image=refer, refer_mask=mask, sky=sky, exist_mask=exist,
-                min_step_to_share=20, grad_ref=gref,
-                correlation_coefficient=corr, origins=origins,
-                start_level=start_level, total_levels=Ltot,
-                sigma_last=self.sigmas[-1], carry_in=(gl, shared),
-                finalize=False,
-            )
-
-        seg_j = self._wrap(seg_fn, n_image_args=7)
-
-        def fin_fn(params, rng, x, refer, mask, gl, gref):
-            # grad_ref is a traced grid variant scalar here, so the shared
-            # _make_finalizer (static grad_ref) doesn't apply
-            maskf = mask.astype(x.dtype)
-            if self.lcfg.denoise:
-                labels = jnp.full((x.shape[0],), Ltot - 1, jnp.int32)
-                g = self._score_fn(params)(x, labels)
-                x = x + self.sigmas[-1] ** 2 * g + gref * gl
-            return x + gref * (-maskf * (x - refer))
-
-        fin_j = self._wrap(fin_fn, n_image_args=4)
-
-        def run_chunked(params, rng, x, refer, mask, sky, exist, origins, corr, gref):
-            gl = jnp.zeros_like(x)
-            shared = jnp.zeros_like(x)
-            for start, ln in segs:
-                out = seg_j(
-                    params, rng, x, refer, mask, sky, exist, gl, shared,
-                    origins, corr, gref,
-                    self.sigmas[start : start + ln], jnp.int32(start),
-                )
-                if self.lcfg.collect_levels:
-                    x, gl, shared, _ = out
-                else:
-                    x, gl, shared = out
-            return fin_j(params, rng, x, refer, mask, gl, gref)
-
-        return run_chunked
-
     def hyperparameter_grid_sample(self, max_batches: Optional[int] = 2, ckpt_path=None, seed=0):
         cfg = self.config
         args = self.args
@@ -931,8 +507,12 @@ class SimultaneousSamplingRunner:
 
     # ------------------------------------------------------------------
     def fast_fid(self, ckpt_path=None, seed=0):
-        """Unconditional batch sampling for FID evaluation
-        (ncsn_runner.py fast_fid; config section fast_fid)."""
+        """Unconditional batch sampling + distribution-distance metrics
+        (config section fast_fid).  The reference's dispatch is broken —
+        main.py:202-203 calls a ``fast_fid()`` no runner defines — so the
+        metric here is the LiDARGen paper's simpler pair: JSD and MMD^2
+        over birds-eye-view histograms vs the test set
+        (:mod:`eval.distribution`), written to ``fid_metrics.json``."""
 
         cfg = self.config
         args = self.args
@@ -948,6 +528,7 @@ class SimultaneousSamplingRunner:
         sampler = self._plain_sampler(lcfg, bs)
         rng = jax.random.PRNGKey(seed)
         done = 0
+        samples = []
         while done < n:
             rng, srng = jax.random.split(rng)
             init = jax.random.uniform(
@@ -958,5 +539,28 @@ class SimultaneousSamplingRunner:
             )
             for i in range(bs):
                 np.save(os.path.join(args.image_folder, f"fid_{done + i}.npy"), out[i])
+                samples.append(out[i])
             done += bs
-        return done
+
+        if not cfg_get(cfg, "fast_fid.compute_metric", True):
+            return done
+        import json
+
+        from ..eval.distribution import distribution_metrics
+
+        _, test_ds = get_dataset(args, cfg)
+        references = [
+            np.asarray(test_ds[i]["real"], np.float32)
+            for i in range(min(n, len(test_ds)))
+        ]
+        metrics = distribution_metrics(
+            samples[:n], references,
+            bins=cfg_get(cfg, "fast_fid.bev_bins", 100),
+            extent=cfg_get(cfg, "fast_fid.bev_extent", 64.0),
+        )
+        text = json.dumps(metrics, indent=2)
+        with open(os.path.join(args.image_folder, "fid_metrics.json"), "w") as f:
+            f.write(text)
+        logging.info("fast_fid metrics: %s", text)
+        print(text)
+        return metrics
