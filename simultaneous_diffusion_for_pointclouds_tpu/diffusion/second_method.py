@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.geometry import RangeGrid, crop_big_with_negatives, unproject
+from ..ops.geometry import (
+    RangeGrid,
+    crop_big_with_negatives,
+    pose_transform,
+    unproject,
+)
 from ..ops.scatter import _segmented_scan_2d_multi, zbuffer_min2
 from .langevin import LangevinConfig, _level_noise
 
@@ -58,6 +63,16 @@ class SecondMethodConfig:
     setting: int = 4
     id_capacity: int = 0  # 0 -> auto: 3 * B*H*W
     median_pull_levels: int = 200
+    # "offsets": per-view origin translations (models/__init__.py:604-1382).
+    # "poses": the DEBUGGED redesign of the reference's pose twin
+    # (KITTISampling.py:515-1299) — that body takes fromWorld/toWorld but
+    # never uses them (it is a byte-identical copy of the offsets method
+    # with denoise=False that would NameError on its undefined
+    # ``modificationList``, :608); here the signature's intent is realised:
+    # views unproject into WORLD coordinates via to_world, the per-id
+    # averaging runs in the world frame, and the shared cloud reprojects
+    # into each view via from_world.
+    variant: str = "offsets"
     # "auto": the Pallas row-batched min z-buffer on TPU (the flat sort
     # pipeline costs ~117 ms/step at the 8-view HDVMine shape), the flat
     # zbuffer_min2 elsewhere; explicit "pallas"/"flat" override.
@@ -100,6 +115,8 @@ def simultaneous_second_method_sample(
     refer_indices,
     origins,
     raw_origins=None,
+    to_world=None,
+    from_world=None,
     grad_ref: float = 0.1,
     start_level=0,
     total_levels=None,
@@ -149,19 +166,22 @@ def simultaneous_second_method_sample(
         return _second_method_levels(
             rng, x_mod, x_indices, gl_in, gt_med, score_fn, sigmas, cfg,
             scfg, refer_image=refer_image, mask=mask, refer_idx=refer_idx,
-            origins=origins, grad_ref=grad_ref, start_level=start_level,
+            origins=origins, to_world=to_world, from_world=from_world,
+            grad_ref=grad_ref, start_level=start_level,
             total_levels=Ltot, sigma_last=sigma_last, finalize=finalize,
         )
 
     x_mod, (x_indices, gl0, gt_med) = second_method_prelude(
         x_mod, refer_image=refer_image, refer_mask=refer_mask,
         refer_indices=refer_indices, origins=origins,
-        raw_origins=raw_origins, scfg=scfg, grad_ref=grad_ref,
+        raw_origins=raw_origins, to_world=to_world, scfg=scfg,
+        grad_ref=grad_ref,
     )
     return _second_method_levels(
         rng, x_mod, x_indices, gl0, gt_med, score_fn,
         sigmas, cfg, scfg, refer_image=refer_image, mask=mask,
-        refer_idx=refer_idx, origins=origins, grad_ref=grad_ref,
+        refer_idx=refer_idx, origins=origins, to_world=to_world,
+        from_world=from_world, grad_ref=grad_ref,
         start_level=start_level, total_levels=Ltot, sigma_last=sigma_last,
         finalize=finalize,
     )
@@ -169,7 +189,7 @@ def simultaneous_second_method_sample(
 
 def second_method_prelude(
     x_mod, *, refer_image, refer_mask, refer_indices, origins,
-    raw_origins=None, scfg: SecondMethodConfig, grad_ref,
+    raw_origins=None, to_world=None, scfg: SecondMethodConfig, grad_ref,
 ):
     """Segment-0 initialisation, exposed for the runner's chunked-ladder
     driver: the data-consistency nudge, the initial id image, and the
@@ -188,9 +208,16 @@ def second_method_prelude(
     # setting 7: ground-truth median in world coordinates, translated by the
     # RAW origins, not the rescaled ones (:710-716 uses originListOG)
     if scfg.setting == 7:
-        med_origins = origins if raw_origins is None else jnp.asarray(raw_origins, x_mod.dtype)
         dist0 = jnp.power(2.0, jnp.abs(x_mod[:, 0]) * 6.0) - 1.0
-        pts0 = unproject(dist0, grid, med_origins)
+        if scfg.variant == "poses":
+            # world-frame median: to_world IS the raw (untampered) frame
+            pts0 = pose_transform(
+                unproject(dist0, grid).reshape(x_mod.shape[0], -1, 3),
+                jnp.asarray(to_world, x_mod.dtype),
+            )
+        else:
+            med_origins = origins if raw_origins is None else jnp.asarray(raw_origins, x_mod.dtype)
+            pts0 = unproject(dist0, grid, med_origins)
         known = (mask[:, 0] != 0).reshape(-1)
 
         def torch_median(vals):
@@ -214,6 +241,7 @@ def second_method_prelude(
 def _second_method_levels(
     rng, x_mod, x_indices, gl_in, gt_med, score_fn, sigmas, cfg,
     scfg: SecondMethodConfig, *, refer_image, mask, refer_idx, origins,
+    to_world=None, from_world=None,
     grad_ref, start_level, total_levels, sigma_last, finalize,
 ):
     """The per-level scan + tail shared by fresh and resumed segments
@@ -249,8 +277,20 @@ def _second_method_levels(
             sign = 1.0 - 2.0 * is_neg
             real_noise = (jnp.power(2.0, jnp.abs(total_grad[:, 0]) * 6.0) - 1.0) * sign
 
-            pts = unproject(dist, grid, origins).reshape(BN, 3)
-            nois = unproject(real_noise, grid).reshape(BN, 3)
+            if scfg.variant == "poses":
+                # view frame -> world via to_world (positions: full pose;
+                # displacement vectors: rotation only)
+                tw = jnp.asarray(to_world, x.dtype)
+                pts = pose_transform(
+                    unproject(dist, grid).reshape(B, N, 3), tw
+                ).reshape(BN, 3)
+                nois = jnp.einsum(
+                    "bij,bnj->bni", tw[:, :3, :3],
+                    unproject(real_noise, grid).reshape(B, N, 3),
+                ).reshape(BN, 3)
+            else:
+                pts = unproject(dist, grid, origins).reshape(BN, 3)
+                nois = unproject(real_noise, grid).reshape(BN, 3)
             intens = x[:, 1].reshape(BN)
             noise_i = total_grad[:, 1].reshape(BN)
 
@@ -364,7 +404,14 @@ def _second_method_levels(
             cloud = jnp.stack([cx, cy, cz], axis=-1)  # (T, 3)
 
             # re-project all ids into every view (B, T)
-            rel = cloud[None] - origins[:, None, :]
+            if scfg.variant == "poses":
+                fw = jnp.asarray(from_world, x.dtype)
+                rel = (
+                    jnp.einsum("bij,tj->bti", fw[:, :3, :3], cloud)
+                    + fw[:, None, :3, 3]
+                )
+            else:
+                rel = cloud[None] - origins[:, None, :]
             px, py, pz = rel[..., 0], rel[..., 1], rel[..., 2]
             xy2 = px**2 + py**2
             depth_m = jnp.sqrt(xy2 + pz**2)

@@ -93,17 +93,18 @@ class SamplerPrograms:
                 carries = post(carries)
         return carries, (jnp.concatenate(trajs) if collect else None)
 
-    def _make_finalizer(self, grad_ref: float):
+    def _make_finalizer(self, grad_ref: float, denoise=None):
         """The sampler tail as its own small jit: optional Tweedie denoise
         with the ladder's last sigma + the hard data-consistency step."""
         Ltot = int(self.sigmas.shape[0])
         sigma_last = self.sigmas[-1]
+        denoise = self.lcfg.denoise if denoise is None else denoise
 
         def fin(params, rng, x, refer, mask, gl):
             score = self._score_fn(params)
             B = x.shape[0]
             maskf = mask.astype(x.dtype)
-            if self.lcfg.denoise:
+            if denoise:
                 labels = jnp.full((B,), Ltot - 1, jnp.int32)
                 if self.score_chunks > 1:
                     k = self.score_chunks
@@ -174,7 +175,13 @@ class SamplerPrograms:
     def _jit_second_method(self, views: int):
         """3D-noise sampler (config ``sampling.method: second``); the
         reference dispatches it for doThis>=8 (dead in the shipped ranges)
-        but it is a first-class method here."""
+        but it is a first-class method here.  For the poses runner family
+        this is the debugged redesign of the reference's pose twin
+        (KITTISampling.py:515-1299 — world-frame sharing via
+        to_world/from_world, denoise forced off per :518; see
+        SecondMethodConfig.variant)."""
+        import dataclasses
+
         from ..diffusion.second_method import (
             SecondMethodConfig,
             mine_sampler_grid,
@@ -182,8 +189,16 @@ class SamplerPrograms:
             simultaneous_second_method_sample,
         )
 
+        pose_mode = self.variant == "poses"
         scfg = SecondMethodConfig(
-            grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting
+            grid=mine_sampler_grid(self.rows, self.cols), setting=self.setting,
+            variant=self.variant,
+        )
+        # the reference pose twin hard-codes denoise = False (:518)
+        lcfg = (
+            dataclasses.replace(self.lcfg, denoise=False)
+            if pose_mode
+            else self.lcfg
         )
         groups = self.groups
 
@@ -222,63 +237,76 @@ class SamplerPrograms:
 
         segs = self._ladder_segments()
         Ltot = int(self.sigmas.shape[0])
+        # pose mode appends (to_world, from_world) as two extra per-view args
+        n_va = 8 if pose_mode else 6
 
         if segs is None:
 
-            def one_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
+            def one_scene(params, rng, x, refer, mask, indices, origins,
+                          raw_origins, *pose):
                 return simultaneous_second_method_sample(
-                    rng, x, self._score_fn(params), self.sigmas, self.lcfg, scfg,
+                    rng, x, self._score_fn(params), self.sigmas, lcfg, scfg,
                     refer_image=refer, refer_mask=mask, refer_indices=indices,
-                    origins=origins, raw_origins=raw_origins, grad_ref=self.grad_ref,
+                    origins=origins, raw_origins=raw_origins,
+                    to_world=pose[0] if pose_mode else None,
+                    from_world=pose[1] if pose_mode else None,
+                    grad_ref=self.grad_ref,
                 )
 
-            inner = _per_scene(one_scene, 6)
+            inner = _per_scene(one_scene, n_va)
 
-            def run(params, rng, x, refer, mask, indices, origins, raw_origins):
-                return _flat(
-                    inner(params, rng, x, refer, mask, indices, origins, raw_origins)
-                )
+            def run(params, rng, *args):
+                return _flat(inner(params, rng, *args))
 
-            # all six args after (params, rng) are per-view batch-leading arrays
-            return self._wrap(run, n_image_args=6)
+            # all args after (params, rng) are per-view batch-leading arrays
+            return self._wrap(run, n_image_args=n_va)
 
         # chunked ladder: prelude (nudge + ids + setting-7 median) once,
         # then one compiled segment program re-used for every segment, then
         # the shared finalizer
-        def pre_scene(params, rng, x, refer, mask, indices, origins, raw_origins):
+        def pre_scene(params, rng, x, refer, mask, indices, origins,
+                      raw_origins, *pose):
             return second_method_prelude(
                 x, refer_image=refer, refer_mask=mask, refer_indices=indices,
-                origins=origins, raw_origins=raw_origins, scfg=scfg,
+                origins=origins, raw_origins=raw_origins,
+                to_world=pose[0] if pose_mode else None, scfg=scfg,
                 grad_ref=self.grad_ref,
             )
 
-        def seg_scene(params, rng, x, refer, mask, indices, ids, gl,
-                      origins, raw_origins, gt_med, sig_seg, start_level):
+        def seg_scene(params, rng, *args):
+            x, refer, mask, indices, ids, gl, origins, raw_origins = args[:8]
+            pose = args[8 : n_va + 2]
+            gt_med, sig_seg, start_level = args[n_va + 2 :]
             return simultaneous_second_method_sample(
-                rng, x, self._score_fn(params), sig_seg, self.lcfg, scfg,
+                rng, x, self._score_fn(params), sig_seg, lcfg, scfg,
                 refer_image=refer, refer_mask=mask, refer_indices=indices,
                 origins=origins, raw_origins=raw_origins,
+                to_world=pose[0] if pose_mode else None,
+                from_world=pose[1] if pose_mode else None,
                 grad_ref=self.grad_ref, start_level=start_level,
                 total_levels=Ltot, sigma_last=self.sigmas[-1],
                 carry_in=(ids, gl, gt_med), finalize=False,
             )
 
-        pre_j = self._wrap(_per_scene(pre_scene, 6), n_image_args=6)
+        pre_j = self._wrap(_per_scene(pre_scene, n_va), n_image_args=n_va)
         seg_j = self._wrap(
-            _per_scene(seg_scene, 8, n_scene_args=1), n_image_args=8
+            _per_scene(seg_scene, n_va + 2, n_scene_args=1),
+            n_image_args=n_va + 2,
         )
-        fin_j = self._make_finalizer(self.grad_ref)
+        fin_j = self._make_finalizer(self.grad_ref, denoise=lcfg.denoise)
 
-        def run_chunked(params, rng, x, refer, mask, indices, origins, raw_origins):
+        def run_chunked(params, rng, x, refer, mask, indices, origins,
+                        raw_origins, *pose):
             x, (ids, gl, gt_med) = pre_j(
-                params, rng, x, refer, mask, indices, origins, raw_origins
+                params, rng, x, refer, mask, indices, origins, raw_origins,
+                *pose,
             )
             x, ids, gl = _flat(x), _flat(ids), _flat(gl)  # gt_med stays (G, 3)
             (x, ids, gl, gt_med), _ = self._segment_loop(
                 segs,
                 lambda sig, start, x, ids, gl, gt_med: seg_j(
                     params, rng, x, refer, mask, indices, ids, gl,
-                    origins, raw_origins, gt_med, sig, start,
+                    origins, raw_origins, *pose, gt_med, sig, start,
                 ),
                 (x, ids, gl, gt_med),
                 post=lambda c: (_flat(c[0]), _flat(c[1]), _flat(c[2]), c[3]),

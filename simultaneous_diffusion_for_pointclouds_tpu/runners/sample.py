@@ -298,7 +298,7 @@ class SimultaneousSamplingRunner(SamplerPrograms):
                 start = time.time()
                 if kind == "joint" and cfg_get(cfg, "sampling.method", "basic") == "second":
                     x0 = self._subset_views(np.asarray(init), keep)
-                    out = self._jit_second_method(keep)(
+                    second_args = [
                         params, sample_rng, jnp.asarray(x0),
                         jnp.asarray(self._subset_views(refer_full, keep)),
                         jnp.asarray(self._subset_views(mask_full, keep)),
@@ -319,7 +319,21 @@ class SimultaneousSamplingRunner(SamplerPrograms):
                             jnp.asarray(raw_origins, jnp.float32)[:keep],
                             (self.groups, 1),
                         ),
-                    )
+                    ]
+                    if self.variant == "poses":
+                        second_args += [
+                            jnp.asarray(
+                                self._subset_views(
+                                    batch_np.get("to_world", identity), keep
+                                )
+                            ),
+                            jnp.asarray(
+                                self._subset_views(
+                                    batch_np.get("from_world", identity), keep
+                                )
+                            ),
+                        ]
+                    out = self._jit_second_method(keep)(*second_args)
                     n_out = self.groups * keep
                 elif kind == "baseline":
                     x0 = self._subset_views(np.asarray(init), keep)

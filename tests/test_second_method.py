@@ -266,3 +266,173 @@ def test_second_method_multi_scene_vmap_independence():
     expected = np.concatenate(singles)
     diff = np.abs(batched - expected)
     assert (diff <= 1e-5).mean() > 0.999, diff.max()
+
+
+def test_second_method_kitti_pose_body_parity_stub():
+    """The reference's pose twin (KITTISampling.py:515-1299) is a
+    byte-identical copy of the offsets second method except denoise=False
+    (:518) — its fromWorld/toWorld args are never used and its
+    ``modificationList`` is undefined (NameError, :608).  With that global
+    stubbed in, the body must match our sampler with denoise off."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    torch.randn_like = lambda t, **k: torch.zeros_like(t)
+    torch.set_default_tensor_type = lambda *a, **k: None
+    from models import KITTISampling as ref_kitti
+
+    x, refer, mask, sky, ids = _inputs(seed=9)
+    sigmas = np.exp(np.linspace(np.log(2.0), np.log(0.05), 3)).astype(np.float32)
+    mods = np.array([[0, 0, 0], [5, -5, 0]])
+    ref_kitti.modificationList = torch.from_numpy(mods)  # fix the NameError
+    identity = torch.eye(4).tile(B, 1, 1)
+
+    images, _, _ = (
+        ref_kitti.anneal_Langevin_dynamics_inpainting_simultaneous_second_method_kitti(
+            torch.from_numpy(x.copy()), torch.from_numpy(refer),
+            torch.from_numpy(mask), torch.from_numpy(sky),
+            torch.from_numpy(ids), 0, 4, _scorenet_torch,
+            torch.from_numpy(sigmas), identity, identity,
+            n_steps_each=2, step_lr=1e-4, denoise=True, verbose=False,
+            grad_ref=0.3, correlation_coefficient=0.05,
+        )
+    )
+    out_ref = images[-1].numpy()
+
+    cfg = LangevinConfig(n_steps_each=2, step_lr=1e-4, denoise=False, noise_scale=0.0)
+    scfg = SecondMethodConfig(grid=mine_sampler_grid(H, W), setting=4)
+    ours = np.asarray(simultaneous_second_method_sample(
+        jnp.zeros(2, jnp.uint32), jnp.asarray(x), _scorenet_jax, jnp.asarray(sigmas),
+        cfg, scfg,
+        refer_image=jnp.asarray(refer), refer_mask=jnp.asarray(mask),
+        refer_indices=jnp.asarray(ids),
+        origins=jnp.asarray(effective_origins(mods), jnp.float32),
+        raw_origins=jnp.asarray(mods, jnp.float32),
+        grad_ref=0.3,
+    ))
+    diff = np.abs(ours - out_ref)
+    ok = (diff < 1e-3).mean()
+    assert np.median(diff) < 1e-5, np.median(diff)
+    assert ok >= 0.98, f"{ok:.4%} within tol; max={diff.max()}"
+
+
+def test_second_method_pose_variant_translation_equals_offsets():
+    """Debugged pose redesign self-consistency: when to_world is a pure
+    translation by the effective origins (from_world its inverse), the
+    world-frame path must reproduce the offsets path exactly."""
+    x, refer, mask, sky, ids = _inputs(seed=13)
+    sigmas = np.exp(np.linspace(np.log(2.0), np.log(0.05), 3)).astype(np.float32)
+    mods = np.array([[0, 0, 0], [5, -5, 0]])
+    eff = effective_origins(mods).astype(np.float32)
+    tw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    fw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    tw[:, :3, 3] = eff
+    fw[:, :3, 3] = -eff
+
+    cfg = LangevinConfig(n_steps_each=2, step_lr=1e-4, denoise=False, noise_scale=0.0)
+    common = dict(
+        refer_image=jnp.asarray(refer), refer_mask=jnp.asarray(mask),
+        refer_indices=jnp.asarray(ids), grad_ref=0.3,
+    )
+    offsets = np.asarray(simultaneous_second_method_sample(
+        jnp.zeros(2, jnp.uint32), jnp.asarray(x), _scorenet_jax,
+        jnp.asarray(sigmas), cfg,
+        SecondMethodConfig(grid=mine_sampler_grid(H, W), setting=4),
+        origins=jnp.asarray(eff), **common,
+    ))
+    poses = np.asarray(simultaneous_second_method_sample(
+        jnp.zeros(2, jnp.uint32), jnp.asarray(x), _scorenet_jax,
+        jnp.asarray(sigmas), cfg,
+        SecondMethodConfig(grid=mine_sampler_grid(H, W), setting=4, variant="poses"),
+        origins=jnp.asarray(eff),  # ignored in pose mode
+        to_world=jnp.asarray(tw), from_world=jnp.asarray(fw), **common,
+    ))
+    np.testing.assert_allclose(poses, offsets, atol=1e-4)
+
+
+def test_second_method_pose_variant_rotation_finite():
+    """A real rotation in the pose stack (what the offsets variant cannot
+    express) still produces finite, in-range images."""
+    x, refer, mask, sky, ids = _inputs(seed=17)
+    sigmas = np.exp(np.linspace(np.log(2.0), np.log(0.05), 3)).astype(np.float32)
+    ang = 0.3
+    c, s = np.cos(ang), np.sin(ang)
+    tw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    tw[1, :2, :2] = [[c, -s], [s, c]]
+    tw[1, :3, 3] = [4.0, -2.0, 0.5]
+    fw = np.linalg.inv(tw).astype(np.float32)
+
+    cfg = LangevinConfig(n_steps_each=2, step_lr=1e-4, denoise=False, noise_scale=0.0)
+    out = np.asarray(simultaneous_second_method_sample(
+        jnp.zeros(2, jnp.uint32), jnp.asarray(x), _scorenet_jax,
+        jnp.asarray(sigmas), cfg,
+        SecondMethodConfig(grid=mine_sampler_grid(H, W), setting=4, variant="poses"),
+        refer_image=jnp.asarray(refer), refer_mask=jnp.asarray(mask),
+        refer_indices=jnp.asarray(ids), grad_ref=0.3,
+        origins=jnp.zeros((B, 3), jnp.float32),
+        to_world=jnp.asarray(tw), from_world=jnp.asarray(fw),
+    ))
+    assert out.shape == (B, 2, H, W)
+    assert np.isfinite(out).all()
+
+
+def test_runner_pose_second_method_chunked_plumbing():
+    """Runner-level pose second method: chunked (exec_level_chunks=2) and
+    single-execution programs agree at G=2 scenes with pose matrices."""
+    import argparse
+
+    import jax
+    import yaml
+
+    from simultaneous_diffusion_for_pointclouds_tpu.config import dict2namespace
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def make_runner(chunks):
+        raw = yaml.safe_load(open(os.path.join(repo, "configs", "micro.yml")))
+        raw["sampling"]["batch_size"] = 4  # 2 scenes x 2 views
+        raw["sampling"]["actualBatchSize"] = 2
+        raw["sampling"]["method"] = "second"
+        raw["sampling"]["setting"] = 4
+        raw["sampling"]["exec_level_chunks"] = chunks
+        raw["parallel"] = {"enable": False}
+        cfg = dict2namespace(raw)
+        import dataclasses
+
+        runner = SimultaneousSamplingRunner(
+            argparse.Namespace(seed=0, image_folder="/tmp/unused"), cfg,
+            variant="poses",
+        )
+        runner._score_fn = lambda params: _scorenet_jax
+        runner.lcfg = dataclasses.replace(runner.lcfg, noise_scale=0.0)
+        return runner
+
+    r1, r2 = make_runner(1), make_runner(2)
+    rng = np.random.default_rng(5)
+    b, h, w = 4, r1.rows, r1.cols
+    x = rng.uniform(0.05, 0.9, (b, 2, h, w)).astype(np.float32)
+    refer = rng.uniform(0.05, 0.9, (b, 2, h, w)).astype(np.float32)
+    mask1 = (rng.uniform(size=(b, 1, h, w)) > 0.5).astype(np.float32)
+    mask = np.concatenate([mask1, mask1], axis=1)
+    ids = rng.integers(-1, 40, (b, 1, h, w)).astype(np.float32)
+    mods = np.array([[0, 0, 0], [5, -5, 0]], np.float32)
+    org4 = np.tile(np.asarray(effective_origins(mods), np.float32), (2, 1))
+    raw4 = np.tile(mods, (2, 1))
+    tw = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    tw[:, :3, 3] = rng.uniform(-3, 3, (b, 3))
+    fw = np.linalg.inv(tw).astype(np.float32)
+
+    params = r1.load_params(rng=jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+    args = (
+        params, key, jnp.asarray(x), jnp.asarray(refer), jnp.asarray(mask),
+        jnp.asarray(ids), jnp.asarray(org4), jnp.asarray(raw4),
+        jnp.asarray(tw), jnp.asarray(fw),
+    )
+    single = np.asarray(r1._jit_second_method(2)(*args))
+    chunked = np.asarray(r2._jit_second_method(2)(*args))
+    assert single.shape == (b, 2, h, w)
+    assert np.isfinite(single).all()
+    np.testing.assert_allclose(chunked, single, atol=1e-6)
