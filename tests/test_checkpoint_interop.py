@@ -47,6 +47,7 @@ def _small_config(channels=2, h=16, w=32, ngf=16, num_classes=8):
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
+@pytest.mark.slow
 def test_reference_pth_checkpoint_roundtrip(tmp_path):
     """A reference-layout .pth (DataParallel prefixes, 5-element list) loads
     through load_score_params and yields the EMA weights' forward outputs."""

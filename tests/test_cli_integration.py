@@ -8,6 +8,9 @@ import sys
 import numpy as np
 import pytest
 
+# subprocess CLI drives (compiles per process) -- slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -21,6 +21,9 @@ from simultaneous_diffusion_for_pointclouds_tpu.diffusion.cloud_training import 
     unproject_trainer,
 )
 
+# multi-step 3D-noise trainer runs -- slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 B, H, W = 4, 8, 16
 
 

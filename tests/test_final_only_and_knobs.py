@@ -58,6 +58,7 @@ def test_plain_sample_final_only_true(tmp_path):
     assert not glob.glob(os.path.join(tmp_path, "samples_*.pth.npy"))
 
 
+@pytest.mark.slow
 def test_simultaneous_sample_trajectory_dumps(tmp_path):
     """The ablation runner honors final_only: false too: per-variant
     per-level samples_{lvl} dumps alongside the Masked_completion output."""
@@ -95,6 +96,7 @@ def test_step_movie_renders_frames(tmp_path):
         assert os.path.isfile(f)
 
 
+@pytest.mark.slow
 def test_memory_knobs_identical_results():
     """sequential_groups + score_chunks give bit-comparable samples to the
     default full-batch path (they only re-tile the computation)."""
@@ -138,6 +140,7 @@ def test_memory_knobs_identical_results():
     assert float(np.mean(diff <= 1e-5)) > 0.999, float(diff.max())
 
 
+@pytest.mark.slow
 def test_segmented_ladder_bitwise_equal():
     """Chunked execution (start_level/carry_in/finalize=False segments +
     the finalizer tail) reproduces the single-execution sampler BITWISE:
@@ -198,6 +201,7 @@ def test_segmented_ladder_bitwise_equal():
     np.testing.assert_array_equal(np.asarray(single), np.asarray(xs))
 
 
+@pytest.mark.slow
 def test_runner_exec_level_chunks_identical(tmp_path):
     """The runner's chunked ladder (exec_level_chunks > 1) produces
     bit-identical Masked_completion outputs to the single execution."""
@@ -219,6 +223,7 @@ def test_runner_exec_level_chunks_identical(tmp_path):
     np.testing.assert_array_equal(outs[1], outs[3])
 
 
+@pytest.mark.slow
 def test_runner_second_method_exec_chunks_identical(tmp_path):
     """Chunked ladder for the second-method path (prelude + carried
     segments + finalizer, per-scene vmap with G=2) == single execution."""
@@ -239,6 +244,7 @@ def test_runner_second_method_exec_chunks_identical(tmp_path):
     np.testing.assert_array_equal(outs[1], outs[3])
 
 
+@pytest.mark.slow
 def test_plain_sample_exec_chunks_identical(tmp_path):
     """plain_sample chunked == single execution (incl. the per-level
     trajectory dumps concatenated across segments)."""

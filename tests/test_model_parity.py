@@ -97,6 +97,7 @@ def test_ncsnv2_parity(ref_models):
     _compare(ref, flax_model, cfg)
 
 
+@pytest.mark.slow
 def test_ncsnv2_deepest_parity(ref_models):
     cfg = _small_config(h=32, w=64)
     ref = ref_models.NCSNv2Deepest(cfg)
@@ -116,6 +117,7 @@ def test_legacy_ncsn_parity(ref_models):
     _compare(ref, flax_model, cfg)
 
 
+@pytest.mark.slow
 def test_compute_dtype_bfloat16_option():
     """model.compute_dtype: bfloat16 runs the trunk in bf16 with f32 params
     and f32 output (checkpoint-compatible); outputs stay close to f32."""

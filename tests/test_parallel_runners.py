@@ -18,6 +18,9 @@ import numpy as np
 import pytest
 import yaml
 
+# 8-device mesh + subprocess CLI runs -- slow tier (pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

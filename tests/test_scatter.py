@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from simultaneous_diffusion_for_pointclouds_tpu.ops import zbuffer_stats
 
@@ -270,6 +271,7 @@ def test_split3_exact():
     assert float(jnp.max(jnp.abs(rec - x))) == 0.0
 
 
+@pytest.mark.slow
 def test_batched_gather_compaction_matches_batched_sort():
     from simultaneous_diffusion_for_pointclouds_tpu.ops.scatter import (
         zbuffer_stats_sorted_batched,

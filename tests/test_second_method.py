@@ -375,6 +375,7 @@ def test_second_method_pose_variant_rotation_finite():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_runner_pose_second_method_chunked_plumbing():
     """Runner-level pose second method: chunked (exec_level_chunks=2) and
     single-execution programs agree at G=2 scenes with pose matrices."""

@@ -5,6 +5,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from simultaneous_diffusion_for_pointclouds_tpu.config import load_config
 from simultaneous_diffusion_for_pointclouds_tpu.runners.train import CurriculumTrainer
@@ -20,6 +21,7 @@ def _trainer():
     return CurriculumTrainer(args, cfg), cfg
 
 
+@pytest.mark.slow
 def test_train_step_updates_params_and_ema():
     t, cfg = _trainer()
     rng = jax.random.PRNGKey(0)

@@ -43,7 +43,15 @@ def _inputs(seed=0):
     return x, sky, exist, to_world, from_world
 
 
-@pytest.mark.parametrize("variant,setting", [("poses", 5), ("offsets", 7)])
+@pytest.mark.parametrize(
+    "variant,setting",
+    [
+        # the poses case costs ~27 s on the 1-core box -> slow tier; the
+        # offsets case stays in the fast tier as mesh-merge coverage
+        pytest.param("poses", 5, marks=pytest.mark.slow),
+        ("offsets", 7),
+    ],
+)
 def test_sharded_merge_matches_batched(variant, setting):
     mesh = make_mesh(n_view=2)
     grid = kitti_sampler_grid(H, W)
