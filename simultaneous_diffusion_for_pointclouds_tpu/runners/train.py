@@ -41,7 +41,7 @@ from ..diffusion.dsm import (
 from ..diffusion.sigmas import get_sigmas
 from ..models import ema_init, ema_update, get_model, get_optimizer
 from ..parallel import maybe_mesh, shard_base_step, shard_train_step
-from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.checkpoint import load_progress, restore_checkpoint, save_checkpoint
 from ..utils.logging_utils import MetricsLogger
 
 
@@ -190,28 +190,41 @@ class CurriculumTrainer:
         c = cfg_get(cfg, "data.channels", 2)
         state = self.init_state(rng, jnp.zeros((batch, c, h, w), jnp.float32))
 
-        log_path = getattr(self.args, "log_path", None)
-        if getattr(self.args, "resume_training", False) and log_path:
-            import os
-
-            if os.path.isdir(os.path.join(log_path, "ckpt")):
-                # like the reference (ncsn_runner.py:65-74 /
-                # ncsn_runner_kitti_simultaneous.py:115-135): restore params
-                # (shape-compatible keys only), keep fresh optimizer state if
-                # the restore fails structurally
-                try:
-                    state = restore_checkpoint(log_path)
-                    logging.info("resumed from %s/ckpt", log_path)
-                except Exception as exc:  # pragma: no cover
-                    logging.warning("resume failed (%s); training fresh", exc)
-        metrics = MetricsLogger(log_path)
+        metrics = MetricsLogger(log_path := getattr(self.args, "log_path", None))
         n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
         snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 2000)
         max_reachable = 1
         step = true_step = 0
+        if getattr(self.args, "resume_training", False) and log_path:
+            if os.path.isdir(os.path.join(log_path, "ckpt")):
+                # like the reference (ncsn_runner.py:65-74 /
+                # ncsn_runner_kitti_simultaneous.py:115-135): restore params
+                # + counters (the reference stores epoch/step in the ckpt,
+                # ncsn_runner.py:168-179); keep a fresh start if the restore
+                # fails structurally
+                try:
+                    state = restore_checkpoint(log_path, target=state)
+                    prog = load_progress(log_path)
+                    if prog is not None:
+                        step = int(prog["step"])
+                        true_step = int(prog["true_step"])
+                        max_reachable = int(prog["max_reachable"])
+                    logging.info(
+                        "resumed from %s/ckpt (step %d, true %d, reachable %d)",
+                        log_path, step, true_step, max_reachable,
+                    )
+                except Exception as exc:  # pragma: no cover
+                    logging.warning("resume failed (%s); training fresh", exc)
         test_iter = iter(test_loader)
         t0 = time.time()
         max_seconds = cfg_get(cfg, "training.max_seconds", None)
+
+        def progress():
+            return {
+                "step": step,
+                "true_step": true_step,
+                "max_reachable": max_reachable,
+            }
 
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
@@ -240,7 +253,7 @@ class CurriculumTrainer:
                             step, timestep, float(loss), time.time() - t0,
                         )
                     if step >= n_iters or _stop_requested(log_path, t0, max_seconds):
-                        save_checkpoint(log_path, state, step) if log_path else None
+                        save_checkpoint(log_path, state, step, progress()) if log_path else None
                         metrics.close()
                         return state
                     if step % 100 == 0 and timestep == 0:
@@ -263,7 +276,7 @@ class CurriculumTrainer:
                     if true_step % 20 == 0 and max_reachable < len(self.sigmas):
                         max_reachable += 1
                     if log_path and true_step % snapshot_freq == 0:
-                        save_checkpoint(log_path, state, step)
+                        save_checkpoint(log_path, state, step, progress())
                         if cfg_get(cfg, "training.snapshot_sampling", False):
                             self._snapshot_sample(state, rng, step, log_path)
         metrics.close()
@@ -597,22 +610,26 @@ class BaseTrainer(CurriculumTrainer):
         c = cfg_get(cfg, "data.channels", 2)
         state = self.init_state(rng, jnp.zeros((b, c, h, w), jnp.float32))
         log_path = getattr(self.args, "log_path", None)
+        step = 0
         if getattr(self.args, "resume_training", False) and log_path:
-            import os
-
             if os.path.isdir(os.path.join(log_path, "ckpt")):
                 try:
-                    state = restore_checkpoint(log_path)
-                    logging.info("resumed from %s/ckpt", log_path)
+                    state = restore_checkpoint(log_path, target=state)
+                    prog = load_progress(log_path)
+                    if prog is not None:
+                        step = int(prog["step"])
+                    logging.info("resumed from %s/ckpt (step %d)", log_path, step)
                 except Exception as exc:  # pragma: no cover
                     logging.warning("resume failed (%s); training fresh", exc)
         metrics = MetricsLogger(log_path)
         n_iters = max_steps or cfg_get(cfg, "training.n_iters", 300001)
         snapshot_freq = cfg_get(cfg, "training.snapshot_freq", 5000)
         test_iter = iter(test_loader)
-        step = 0
         t0 = time.time()
         max_seconds = cfg_get(cfg, "training.max_seconds", None)
+
+        def progress():
+            return {"step": step}
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
                 step += 1
@@ -636,15 +653,15 @@ class BaseTrainer(CurriculumTrainer):
                     metrics.scalar("test_loss", tl, step)
                     logging.info("step: %d, test_loss: %.5f", step, float(tl))
                 if log_path and step % snapshot_freq == 0:
-                    save_checkpoint(log_path, state, step)
+                    save_checkpoint(log_path, state, step, progress())
                     if cfg_get(cfg, "training.snapshot_sampling", False):
                         self._snapshot_sample(state, rng, step, log_path)
                 if step >= n_iters or _stop_requested(log_path, t0, max_seconds):
                     if log_path:
-                        save_checkpoint(log_path, state, step)
+                        save_checkpoint(log_path, state, step, progress())
                     metrics.close()
                     return state
         if log_path:
-            save_checkpoint(log_path, state, step)
+            save_checkpoint(log_path, state, step, progress())
         metrics.close()
         return state

@@ -9,6 +9,7 @@ copy, holding {params, opt_state, ema_params, epoch, step}.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -20,21 +21,46 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(log_path: str, state: Dict[str, Any], step: int) -> None:
-    """Write ``ckpt_{step}`` and refresh the rolling ``ckpt``."""
+def save_checkpoint(
+    log_path: str,
+    state: Dict[str, Any],
+    step: int,
+    progress: Optional[Dict[str, int]] = None,
+) -> None:
+    """Write ``ckpt_{step}`` and refresh the rolling ``ckpt``.  ``progress``
+    (loop counters: step/true_step/max_reachable) goes to a JSON sidecar —
+    the reference stores epoch/step inside its .pth (ncsn_runner.py:168-179);
+    a sidecar keeps the Orbax tree layout unchanged for samplers/tests."""
     state = jax.tree.map(lambda x: x, state)
     ckptr = _ckptr()
     path = os.path.join(os.path.abspath(log_path), f"ckpt_{step}")
     ckptr.save(path, state, force=True)
     rolling = os.path.join(os.path.abspath(log_path), "ckpt")
     ckptr.save(rolling, state, force=True)
+    if progress is not None:
+        with open(os.path.join(os.path.abspath(log_path), "progress.json"), "w") as f:
+            json.dump(progress, f)
 
 
-def restore_checkpoint(log_path: str, step: Optional[int] = None):
+def restore_checkpoint(log_path: str, step: Optional[int] = None, target=None):
+    """Restore ``ckpt_{step}`` (or the rolling ``ckpt``).  Pass ``target``
+    (a state pytree of the right structure, e.g. from ``init_state``) to
+    recover exact container types — without it Orbax returns plain nested
+    dicts, which breaks optax NamedTuple opt_states on resume."""
     path = os.path.join(
         os.path.abspath(log_path), f"ckpt_{step}" if step is not None else "ckpt"
     )
-    return _ckptr().restore(path)
+    if target is None:
+        return _ckptr().restore(path)
+    return _ckptr().restore(path, item=target)
+
+
+def load_progress(log_path: str) -> Optional[Dict[str, int]]:
+    path = os.path.join(os.path.abspath(log_path), "progress.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def load_score_params(ckpt_path: str, model, example_input, example_labels):
