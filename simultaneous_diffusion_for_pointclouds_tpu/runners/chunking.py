@@ -21,6 +21,8 @@ also why it has no per-execute ceiling to manage.
 from __future__ import annotations
 
 import functools
+import logging
+import time
 
 import jax
 import jax.numpy as jnp
@@ -80,8 +82,10 @@ class SamplerPrograms:
         the carry tuple between segments (the second method re-flattens its
         per-scene axes).  Returns ``(carries, trajectory-or-None)``.
         """
+        timing = getattr(self, "segment_timing", False)
         trajs = []
         for start, ln in segs:
+            t0 = time.time() if timing else 0.0
             out = seg_call(
                 self.sigmas[start : start + ln], jnp.int32(start), *carries
             )
@@ -91,6 +95,18 @@ class SamplerPrograms:
             carries = out if isinstance(out, tuple) else (out,)
             if post is not None:
                 carries = post(carries)
+            if timing:
+                # diagnosis mode (sampling.segment_timing): synchronize per
+                # segment so wall-clock attributes to THIS segment; the
+                # per-level rate exposes in-process slowdowns (PERF_NOTES
+                # B=42 investigation) at segment granularity
+                jax.block_until_ready(carries[0])
+                dt = time.time() - t0
+                n_steps = getattr(self.lcfg, "n_steps_each", 1)
+                logging.info(
+                    "[segtime] levels %d..%d (%d): %.2fs = %.3fs/step",
+                    start, start + ln - 1, ln, dt, dt / (ln * n_steps),
+                )
         return carries, (jnp.concatenate(trajs) if collect else None)
 
     def _make_finalizer(self, grad_ref: float, denoise=None):

@@ -132,6 +132,9 @@ class SimultaneousSamplingRunner(SamplerPrograms):
         self.exec_level_chunks = int(
             cfg_get(config, "sampling.exec_level_chunks", 0)
         )
+        # diagnosis mode: per-segment wall-clock + per-variant device memory
+        # stats (the round-3 B=42 in-process slowdown investigation)
+        self.segment_timing = bool(cfg_get(config, "sampling.segment_timing", False))
         self.lcfg = LangevinConfig(
             n_steps_each=cfg_get(config, "sampling.n_steps_each", 5),
             step_lr=cfg_get(config, "sampling.step_lr", 6.2e-6),
@@ -409,6 +412,20 @@ class SimultaneousSamplingRunner(SamplerPrograms):
                     batch_idx, do_this, time.time() - start,
                     time_taken[do_this] / (batch_idx + 1),
                 )
+                if self.segment_timing:
+                    try:
+                        stats = jax.local_devices()[0].memory_stats() or {}
+                        logging.info(
+                            "[memstats] variant %d: in_use=%.0fMB peak=%.0fMB "
+                            "largest_free=%.0fMB num_allocs=%s",
+                            do_this,
+                            stats.get("bytes_in_use", 0) / 1e6,
+                            stats.get("peak_bytes_in_use", 0) / 1e6,
+                            stats.get("largest_free_block_bytes", 0) / 1e6,
+                            stats.get("num_allocs", "?"),
+                        )
+                    except Exception as exc:  # backend-dependent
+                        logging.info("[memstats] unavailable: %s", exc)
         return time_taken
 
     # ------------------------------------------------------------------
