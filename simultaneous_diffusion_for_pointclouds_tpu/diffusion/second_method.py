@@ -64,6 +64,11 @@ class SecondMethodConfig:
     id_capacity: int = 0  # 0 -> auto: 3 * B*H*W
     median_pull_levels: int = 200
     # "offsets": per-view origin translations (models/__init__.py:604-1382).
+    # Renumber-sort payload routing: "carry" threads the four pre-added
+    # value channels through the bitonic network (5 operands); "iota" sorts
+    # (ids, iota) and gathers them afterwards (2 operands + 4 gathers).
+    # Identical results (stable sort); pick by TPU measurement.
+    sort_payload_mode: str = "carry"
     # "poses": the DEBUGGED redesign of the reference's pose twin
     # (KITTISampling.py:515-1299) — that body takes fromWorld/toWorld but
     # never uses them (it is a byte-identical copy of the offsets method
@@ -318,16 +323,25 @@ def _second_method_levels(
                 # round-2 pipeline; per-pixel ids never materialise at all.
                 # T = BN + 1 slots: at most BN distinct ids + 1 OOB drop.
                 T = BN + 1
-                sid, s0, s1, s2, s3 = jax.lax.sort(
-                    (
-                        flat_ids,
-                        pts[:, 0] + nois[:, 0],
-                        pts[:, 1] + nois[:, 1],
-                        pts[:, 2] + nois[:, 2],
-                        intens + noise_i,
-                    ),
-                    num_keys=1,
-                )
+                if scfg.sort_payload_mode == "iota":
+                    sid, perm = jax.lax.sort(
+                        (flat_ids, jnp.arange(BN, dtype=jnp.int32)), num_keys=1
+                    )
+                    s0 = (pts[:, 0] + nois[:, 0])[perm]
+                    s1 = (pts[:, 1] + nois[:, 1])[perm]
+                    s2 = (pts[:, 2] + nois[:, 2])[perm]
+                    s3 = (intens + noise_i)[perm]
+                else:
+                    sid, s0, s1, s2, s3 = jax.lax.sort(
+                        (
+                            flat_ids,
+                            pts[:, 0] + nois[:, 0],
+                            pts[:, 1] + nois[:, 1],
+                            pts[:, 2] + nois[:, 2],
+                            intens + noise_i,
+                        ),
+                        num_keys=1,
+                    )
                 change = sid[1:] != sid[:-1]
                 first = jnp.concatenate([jnp.ones(1, bool), change])
                 dense_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1

@@ -121,6 +121,15 @@ def _split3(x):
     )
 
 
+# Payload routing through the 2-key sort: "carry" threads every payload
+# operand through the bitonic network; "iota" sorts (key, depth-bits, iota)
+# and gathers the payloads afterwards with ONE take_along_axis per payload —
+# fewer sort operands at the cost of a post-sort gather.  Perf-neutral
+# semantics; the faster mode on TPU is selected by measurement
+# (PERF_NOTES round-4 sort levers).
+SORT_PAYLOAD_MODE = "carry"
+
+
 def _sort_with_sentinels(keys, value, payloads, valid, live):
     """Append one +inf sentinel per live key (sorts to its segment's end)
     and 2-key-sort by (key, depth-bits) carrying the payloads.  Returns
@@ -140,9 +149,19 @@ def _sort_with_sentinels(keys, value, payloads, valid, live):
         for p in payloads
     ]
 
-    sorted_ops = jax.lax.sort((k, _order_bits(vb), *pays), num_keys=2)
-    sorted_ops = jax.lax.optimization_barrier(sorted_ops)
-    sk, s_vbits, *sps = sorted_ops
+    if SORT_PAYLOAD_MODE == "iota" and pays:
+        iota = jnp.broadcast_to(
+            jnp.arange(m + live, dtype=jnp.int32)[None], (b, m + live)
+        )
+        sk, s_vbits, perm = jax.lax.sort(
+            (k, _order_bits(vb), iota), num_keys=2
+        )
+        sps = [jnp.take_along_axis(p, perm, axis=1) for p in pays]
+        sk, s_vbits, *sps = jax.lax.optimization_barrier((sk, s_vbits, *sps))
+    else:
+        sorted_ops = jax.lax.sort((k, _order_bits(vb), *pays), num_keys=2)
+        sorted_ops = jax.lax.optimization_barrier(sorted_ops)
+        sk, s_vbits, *sps = sorted_ops
     raw = _bits_to_float(s_vbits)
     is_hit = (sk != live) & jnp.isfinite(raw)
     w = is_hit.astype(jnp.float32)

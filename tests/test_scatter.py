@@ -328,3 +328,31 @@ def test_segment_sums_sorted_pallas_matches_segment_sum():
             np.testing.assert_allclose(
                 np.asarray(sums[i]), np.asarray(ref), rtol=1e-5, atol=1e-5
             )
+
+
+def test_sort_payload_iota_mode_matches_carry():
+    """The iota-gather payload routing (round-4 sort lever) is bit-identical
+    to carrying payloads through the 2-key sort (stable sort => same perm)."""
+    from simultaneous_diffusion_for_pointclouds_tpu.ops import zbuffer_pallas as zp
+
+    rng = np.random.default_rng(0)
+    b, m, live = 2, 600, 96
+    keys = jnp.asarray(rng.integers(0, live, (b, m)), jnp.int32)
+    value = jnp.asarray(rng.uniform(0.1, 5.0, (b, m)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-1, 1, (b, m)), jnp.float32)
+    p2 = jnp.asarray(rng.integers(0, 1000, (b, m)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=(b, m)) > 0.3)
+
+    def run():
+        return zp.zbuffer_min2_batched_pallas(
+            keys, value, p1, p2, valid, live + 1, interpret=True
+        )
+
+    base = run()
+    zp.SORT_PAYLOAD_MODE = "iota"
+    try:
+        alt = run()
+    finally:
+        zp.SORT_PAYLOAD_MODE = "carry"
+    for a, c in zip(alt, base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

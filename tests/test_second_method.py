@@ -437,3 +437,26 @@ def test_runner_pose_second_method_chunked_plumbing():
     assert single.shape == (b, 2, h, w)
     assert np.isfinite(single).all()
     np.testing.assert_allclose(chunked, single, atol=1e-6)
+
+
+def test_second_method_iota_sort_mode_matches_carry():
+    """Renumber-sort payload routing (round-4 sort lever): iota-gather ==
+    carried payloads bitwise (stable sort)."""
+    x, refer, mask, sky, ids = _inputs(seed=23)
+    sigmas = np.exp(np.linspace(np.log(2.0), np.log(0.05), 3)).astype(np.float32)
+    mods = np.array([[0, 0, 0], [5, -5, 0]])
+    cfg = LangevinConfig(n_steps_each=2, step_lr=1e-4, denoise=True, noise_scale=0.0)
+    outs = {}
+    for mode in ("carry", "iota"):
+        scfg = SecondMethodConfig(
+            grid=mine_sampler_grid(H, W), setting=4, sort_payload_mode=mode
+        )
+        outs[mode] = np.asarray(simultaneous_second_method_sample(
+            jnp.zeros(2, jnp.uint32), jnp.asarray(x), _scorenet_jax,
+            jnp.asarray(sigmas), cfg, scfg,
+            refer_image=jnp.asarray(refer), refer_mask=jnp.asarray(mask),
+            refer_indices=jnp.asarray(ids),
+            origins=jnp.asarray(effective_origins(mods), jnp.float32),
+            grad_ref=0.3,
+        ))
+    np.testing.assert_array_equal(outs["iota"], outs["carry"])
