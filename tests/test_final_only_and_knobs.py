@@ -267,3 +267,40 @@ def test_plain_sample_exec_chunks_identical(tmp_path):
         ]
     for a, b in zip(outs[1], outs[2]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ablation_plan_modes():
+    """sampling.plan narrows the doThis progression (round-4 knob)."""
+    import yaml
+
+    from simultaneous_diffusion_for_pointclouds_tpu.config import dict2namespace
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def runner(plan, variant):
+        raw = yaml.safe_load(open(os.path.join(repo, "configs", "micro.yml")))
+        raw["sampling"]["batch_size"] = 6
+        raw["sampling"]["actualBatchSize"] = 3
+        if plan:
+            raw["sampling"]["plan"] = plan
+        raw["parallel"] = {"enable": False}
+        return SimultaneousSamplingRunner(
+            argparse.Namespace(seed=0, image_folder="/tmp/x"),
+            dict2namespace(raw), variant=variant,
+        )
+
+    assert runner(None, "poses")._ablation_plan() == [
+        ("joint", 2), ("joint", 3), ("baseline", 3)
+    ]
+    assert runner("joint_only", "poses")._ablation_plan() == [("joint", 3)]
+    assert runner("joint_baseline", "poses")._ablation_plan() == [
+        ("joint", 3), ("baseline", 3)
+    ]
+    assert runner("joint_baseline", "offsets")._ablation_plan() == [
+        ("joint", 3), ("baseline", 1)
+    ]
+    with pytest.raises(NotImplementedError):
+        runner("bogus", "poses")._ablation_plan()
