@@ -178,9 +178,24 @@ class SimultaneousSamplingRunner(SamplerPrograms):
           view per scene; with the densification dataset the loop narrows to
           [full joint, 1-view baseline].
         Returns a list of ("joint", keep_views) / ("baseline", keep_views).
+        ``sampling.plan`` narrows the progression: "full" (default, the
+        reference's doThis loop), "joint_baseline" (full joint + baseline
+        only), "joint_only" (full joint only — e.g. the bf16 evidence pair).
         """
         A = self.views
         dataset = cfg_get(self.config, "data.dataset", "")
+        plan_mode = cfg_get(self.config, "sampling.plan", "full")
+        if plan_mode == "joint_only":
+            return [("joint", A)]
+        if plan_mode == "joint_baseline":
+            return [
+                ("joint", A),
+                ("baseline", A if self.variant == "poses" else 1),
+            ]
+        if plan_mode != "full":
+            raise NotImplementedError(
+                f"sampling.plan {plan_mode!r} not in ('full', 'joint_baseline', 'joint_only')"
+            )
         if self.variant == "poses":
             plan = [("joint", min(d + 2, A)) for d in range(A - 1)]
             plan.append(("baseline", A))

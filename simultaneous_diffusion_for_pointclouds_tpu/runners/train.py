@@ -373,23 +373,35 @@ class CurriculumTrainer:
                 break
             batches.append(b)
 
+        # evaluate across the ladder, not just sigma_0: the reference's test
+        # sweep draws RANDOM sigma labels per batch (ncsn_runner.py:600-612);
+        # a fixed spanning set makes the curve comparable across checkpoints
+        L = int(self.sigmas.shape[0])
+        timesteps = sorted({0, L // 4, L // 2, (3 * L) // 4, L - 1})
         results = {}
         rng = jax.random.PRNGKey(0)
         for step in ckpts:
             state = restore_checkpoint(self.args.log_path, step)
             params = state["ema_params"] if self.use_ema else state["params"]
             losses = []
+            per_t = {t: [] for t in timesteps}
             for b in batches:
-                rng, r = jax.random.split(rng)
-                loss, _ = self.eval_step(
-                    params, r, jnp.asarray(b["real"]), jnp.asarray(b["known"]), 0
-                )
-                losses.append(float(loss))
+                for t in timesteps:
+                    rng, r = jax.random.split(rng)
+                    loss, _ = self.eval_step(
+                        params, r, jnp.asarray(b["real"]), jnp.asarray(b["known"]), t
+                    )
+                    per_t[t].append(float(loss))
+                    losses.append(float(loss))
             mean = float(np.mean(losses)) if losses else float("nan")
-            results[step] = mean
+            results[step] = {
+                "mean": mean,
+                "per_timestep": {t: float(np.mean(v)) for t, v in per_t.items()},
+            }
             logging.info(
-                "ckpt %s: test mean loss %.5f over %d batches",
-                step, mean, len(losses),
+                "ckpt %s: test mean loss %.5f over %d batches x %d timesteps (%s)",
+                step, mean, len(batches), len(timesteps),
+                " ".join(f"t{t}={np.mean(v):.4f}" for t, v in per_t.items()),
             )
         return results
 
