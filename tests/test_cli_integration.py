@@ -151,3 +151,29 @@ def test_hyperparameter_grid_exec_chunks_identical(tmp_path):
         results[chunks] = runner.hyperparameter_grid_sample(max_batches=1)
     for key, out in results[1].items():
         np.testing.assert_array_equal(out, results[3][key])
+
+
+def test_cli_fast_fid_metrics(tmp_path):
+    """--fast_fid samples, saves fid_*.npy, and emits fid_metrics.json with
+    JSD + MMD^2 vs the test set (VERDICT r3 #4; the reference's dispatch is
+    an AttributeError, main.py:202-203)."""
+    import json
+
+    env = dict(os.environ)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv=['main.py','--fast_fid','--ni','--config','micro.yml',"
+        f"'--exp',{str(tmp_path)!r},'--doc','t','-i','f'];"
+        "import runpy; runpy.run_path('main.py', run_name='__main__')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=580,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    folder = os.path.join(tmp_path, "fid_samples", "f")
+    fids = glob.glob(os.path.join(folder, "fid_*.npy"))
+    assert len(fids) >= 8, os.listdir(folder)
+    metrics = json.load(open(os.path.join(folder, "fid_metrics.json")))
+    assert np.isfinite(metrics["jsd"]) and np.isfinite(metrics["mmd2"])
+    assert metrics["n_samples"] >= 8 and metrics["n_reference"] >= 1
