@@ -135,6 +135,13 @@ class SimultaneousSamplingRunner(SamplerPrograms):
         # diagnosis mode: per-segment wall-clock + per-variant device memory
         # stats (the round-3 B=42 in-process slowdown investigation)
         self.segment_timing = bool(cfg_get(config, "sampling.segment_timing", False))
+        # mitigation knob: drop every cached jit program between ablation
+        # variants (fresh executables + freed device buffers per variant, at
+        # recompile cost) — for long multi-executable processes where the
+        # round-3 in-process slowdown appears
+        self.evict_executables = bool(
+            cfg_get(config, "sampling.evict_executables", False)
+        )
         self.lcfg = LangevinConfig(
             n_steps_each=cfg_get(config, "sampling.n_steps_each", 5),
             step_lr=cfg_get(config, "sampling.step_lr", 6.2e-6),
@@ -427,6 +434,11 @@ class SimultaneousSamplingRunner(SamplerPrograms):
                     batch_idx, do_this, time.time() - start,
                     time_taken[do_this] / (batch_idx + 1),
                 )
+                if self.evict_executables:
+                    self._jit_simultaneous.cache_clear()
+                    self._jit_second_method.cache_clear()
+                    self._jit_inpainting.cache_clear()
+                    jax.clear_caches()
                 if self.segment_timing:
                     try:
                         stats = jax.local_devices()[0].memory_stats() or {}
