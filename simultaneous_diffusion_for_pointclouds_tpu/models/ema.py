@@ -11,7 +11,10 @@ import jax
 
 
 def ema_init(params):
-    return jax.tree.map(lambda p: p, params)
+    # materialise DISTINCT buffers (not aliases of the params): the train
+    # steps donate the whole state, and donation rejects the same buffer
+    # appearing twice (params + ema_params)
+    return jax.tree.map(lambda p: jax.numpy.array(p, copy=True), params)
 
 
 def ema_update(shadow, params, mu: float = 0.999):

@@ -96,7 +96,11 @@ class CurriculumTrainer:
             "ema_params": ema_init(params),
         }
 
-    @functools.partial(jax.jit, static_argnums=0)
+    # the state is donated: the old buffers are dead after each step, so
+    # XLA updates the ~450 MB state in place instead of double-buffering it
+    # (donation is a no-op on CPU; x is NOT donated — callers may alias it
+    # with original_x)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def train_step(self, state, rng, x, original_x, mask, timestep):
         return self.train_step_impl(state, rng, x, original_x, mask, timestep)
 
@@ -435,7 +439,7 @@ class ThreeDNoiseTrainer(CurriculumTrainer):
         else:
             self._train3d_step = self.train3d_step
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def train3d_step(self, state, rng, x, mask, carry, timestep):
         return self.train3d_step_impl(state, rng, x, mask, carry, timestep)
 
@@ -570,7 +574,7 @@ class BaseTrainer(CurriculumTrainer):
         else:
             self._base_step = self.base_step
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1,))
     def base_step(self, state, rng, x):
         return self.base_step_impl(state, rng, x)
 
