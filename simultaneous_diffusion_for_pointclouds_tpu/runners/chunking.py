@@ -48,12 +48,15 @@ class SamplerPrograms:
 
     # ------------------------------------------------------------------
     # shared plumbing
-    def _wrap(self, fn, n_image_args: int):
+    def _wrap(self, fn, n_image_args: int, donate=()):
         """jit ``fn`` — through the mesh (batch sharded over (data, view),
         params replicated) when one is configured, plain ``jax.jit``
-        otherwise."""
+        otherwise.  ``donate``: argnums of dead-after-call carries (the
+        segment loops thread fresh buffers each call) — donated on the
+        single-device path to cut HBM allocation churn; the mesh wrapper
+        does not donate."""
         if self.mesh is None:
-            return jax.jit(fn)
+            return jax.jit(fn, donate_argnums=tuple(donate))
         return shard_simultaneous_sampler(fn, self.mesh, n_image_args)
 
     def _score_fn(self, params):
@@ -157,6 +160,7 @@ class SamplerPrograms:
                 sigma_last=self.sigmas[-1], finalize=False,
             ),
             n_image_args=1,
+            donate=(2,),
         )
         fin_j = self._wrap(
             lambda p, r, x: (
@@ -383,8 +387,9 @@ class SamplerPrograms:
                 finalize=False, **_kw(origins, to_world, from_world),
             )
 
-        # gl/shared are image-shaped carries: shard them like the batch
-        seg_j = self._wrap(seg_fn, n_image_args=9)
+        # gl/shared are image-shaped carries: shard them like the batch;
+        # carries (x, gl, shared) are dead after each segment -> donated
+        seg_j = self._wrap(seg_fn, n_image_args=9, donate=(2, 9, 10))
         fin_j = self._make_finalizer(self.grad_ref)
 
         def run_chunked(params, rng, x, refer, mask, sky, exist, to_world,
@@ -430,7 +435,7 @@ class SamplerPrograms:
                 sigma_last=self.sigmas[-1], carry_in=gl, finalize=False,
             )
 
-        seg_j = self._wrap(seg_fn, n_image_args=4)
+        seg_j = self._wrap(seg_fn, n_image_args=4, donate=(2, 5))
         fin_j = self._make_finalizer(1.0)
 
         def run_chunked(params, rng, x, refer, mask):
@@ -496,7 +501,7 @@ class SamplerPrograms:
                 finalize=False,
             )
 
-        seg_j = self._wrap(seg_fn, n_image_args=7)
+        seg_j = self._wrap(seg_fn, n_image_args=7, donate=(2, 7, 8))
 
         def fin_fn(params, rng, x, refer, mask, gl, gref):
             # grad_ref is a traced grid variant scalar here, so the shared
