@@ -13,7 +13,7 @@ while [ -f /tmp/train_watchdog_on ]; do
   [ -z "$pid" ] && continue
   kill -0 "$pid" 2>/dev/null || continue   # process exited on its own
   age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
-  if [ "$age" -gt 300 ]; then
+  if [ "$age" -gt 180 ]; then
     echo "$(date) stale ${age}s; killing $pid and resuming" >> /tmp/watchdog.log
     kill -9 "$pid"
     sleep 15
