@@ -153,11 +153,19 @@ class CurriculumTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, params, rng, x, mask, timestep):
+        """Cheap single-level test loss.  Untrusted pixels get the max-noise
+        init the curriculum trains with (train():207-211 / reference
+        :264) — without it the inputs are out-of-distribution and the loss
+        is dominated by the clean-invalid-region mismatch."""
         sigmas = self.sigmas
         b = x.shape[0]
+        init_rng, noise_rng = jax.random.split(rng)
+        x = x + jax.random.normal(init_rng, x.shape, x.dtype) * sigmas[0] * (
+            1.0 - mask
+        )
         labels = jnp.full((b,), timestep, jnp.int32)
         used = sigmas[labels].reshape((b,) + (1,) * (x.ndim - 1))
-        noise = jax.random.normal(rng, x.shape, x.dtype) * used
+        noise = jax.random.normal(noise_rng, x.shape, x.dtype) * used
         x_pert = x + noise * mask
 
         def score_fn(inp, lbl):
@@ -167,6 +175,55 @@ class CurriculumTrainer:
             score_fn, x_pert, labels, sigmas, noise, mask, self.anneal_power
         )
         return loss, scores
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_curriculum(self, params, rng, x, mask):
+        """Faithful test loss: REPLAY the training curriculum on a test
+        batch — max-noise init of untrusted pixels, then every noise level
+        adds its noise to trusted pixels, takes the masked-DSM loss, and
+        Langevin-refines untrusted pixels reusing the level's scores —
+        exactly the reference's in-training test block
+        (ncsn_runner_kitti_simultaneous.py:240-290); returns the mean loss
+        over levels (lossTotal / maxTimeStepReachable)."""
+        sigmas = self.sigmas
+        b = x.shape[0]
+        original = x
+        maskf = mask.astype(x.dtype)
+        init_rng, rng = jax.random.split(rng)
+        x = x + jax.random.normal(init_rng, x.shape, x.dtype) * sigmas[0] * (
+            1.0 - maskf
+        )
+
+        def score_fn(inp, lbl):
+            return self.model.apply({"params": params}, inp, lbl)
+
+        def level(carry, cs):
+            x, rng = carry
+            c, sigma = cs
+            rng, nrng, lrng = jax.random.split(rng, 3)
+            noise = jax.random.normal(nrng, x.shape, x.dtype) * sigma
+            x = x + noise * maskf
+            labels = jnp.full((b,), c, jnp.int32)
+            loss, scores = anneal_dsm_score_estimation_with_mask(
+                score_fn, x, labels, sigmas, noise, maskf, self.anneal_power
+            )
+            step_size = self.step_lr * (sigma / sigmas[-1]) ** 2
+
+            def refine(s, x):
+                z = jax.random.normal(
+                    jax.random.fold_in(lrng, s), x.shape, x.dtype
+                )
+                pred = x + step_size * scores + z * jnp.sqrt(step_size * 2.0)
+                return original * maskf + pred * (1.0 - maskf)
+
+            x = jax.lax.fori_loop(0, self.n_steps_each, refine, x)
+            return (x, rng), loss
+
+        L = int(sigmas.shape[0])
+        (_, _), losses = jax.lax.scan(
+            level, (x, rng), (jnp.arange(L, dtype=jnp.int32), sigmas)
+        )
+        return jnp.mean(losses), losses
 
     # ------------------------------------------------------------------
     def train(self, max_steps: Optional[int] = None):
@@ -342,10 +399,13 @@ class CurriculumTrainer:
             )
 
     # ------------------------------------------------------------------
-    def test(self, steps: int = 50):
-        """Checkpoint loss sweep: mean test DSM loss for EVERY saved
-        checkpoint between test.begin_ckpt and test.end_ckpt, like the
-        reference ``--test`` mode (ncsn_runner.py:571-621)."""
+    def test(self, steps: int = 4):
+        """Checkpoint loss sweep: mean curriculum-replay test loss for
+        EVERY saved checkpoint between test.begin_ckpt and test.end_ckpt,
+        like the reference ``--test`` mode (ncsn_runner.py:571-621) with the
+        simultaneous runner's curriculum test semantics (:240-290).
+        ``steps`` = test batches per checkpoint (each replays all L
+        levels)."""
         import glob as globmod
         import os
 
@@ -377,35 +437,36 @@ class CurriculumTrainer:
                 break
             batches.append(b)
 
-        # evaluate across the ladder, not just sigma_0: the reference's test
-        # sweep draws RANDOM sigma labels per batch (ncsn_runner.py:600-612);
-        # a fixed spanning set makes the curve comparable across checkpoints
+        # full curriculum replay per test batch (the reference's in-training
+        # test block, ncsn_runner_kitti_simultaneous.py:240-290): mean
+        # masked-DSM loss over all L levels, plus a few per-level probes
         L = int(self.sigmas.shape[0])
-        timesteps = sorted({0, L // 4, L // 2, (3 * L) // 4, L - 1})
+        probes = sorted({0, L // 4, L // 2, (3 * L) // 4, L - 1})
         results = {}
         rng = jax.random.PRNGKey(0)
         for step in ckpts:
             state = restore_checkpoint(self.args.log_path, step)
             params = state["ema_params"] if self.use_ema else state["params"]
-            losses = []
-            per_t = {t: [] for t in timesteps}
+            means, curves = [], []
             for b in batches:
-                for t in timesteps:
-                    rng, r = jax.random.split(rng)
-                    loss, _ = self.eval_step(
-                        params, r, jnp.asarray(b["real"]), jnp.asarray(b["known"]), t
-                    )
-                    per_t[t].append(float(loss))
-                    losses.append(float(loss))
-            mean = float(np.mean(losses)) if losses else float("nan")
+                rng, r = jax.random.split(rng)
+                mean_loss, per_level = self.eval_curriculum(
+                    params, r,
+                    data_transform(self.config, jnp.asarray(b["real"])),
+                    jnp.asarray(b["known"]),
+                )
+                means.append(float(mean_loss))
+                curves.append(np.asarray(per_level))
+            mean = float(np.mean(means)) if means else float("nan")
+            curve = np.mean(curves, axis=0) if curves else np.full(L, np.nan)
             results[step] = {
                 "mean": mean,
-                "per_timestep": {t: float(np.mean(v)) for t, v in per_t.items()},
+                "per_level_probes": {int(t): float(curve[t]) for t in probes},
             }
             logging.info(
-                "ckpt %s: test mean loss %.5f over %d batches x %d timesteps (%s)",
-                step, mean, len(batches), len(timesteps),
-                " ".join(f"t{t}={np.mean(v):.4f}" for t, v in per_t.items()),
+                "ckpt %s: curriculum test loss %.5f over %d batches (%s)",
+                step, mean, len(batches),
+                " ".join(f"t{t}={curve[t]:.4f}" for t in probes),
             )
         return results
 
