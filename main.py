@@ -36,6 +36,11 @@ def parse_args_and_config():
     parser.add_argument("--resume_training", action="store_true")
     parser.add_argument("-i", "--image_folder", type=str, default="images")
     parser.add_argument("--ni", action="store_true", help="No interaction (batch jobs)")
+    parser.add_argument(
+        "--keep_image_folder", action="store_true",
+        help="Reuse an existing image folder in place (resume an interrupted "
+        "ablation with sampling.plan_start) instead of overwriting it",
+    )
     parser.add_argument("--ckpt", type=str, default=None, help="Checkpoint path override")
     parser.add_argument("--max_batches", type=int, default=None, help="Limit sampling batches")
     parser.add_argument("--max_steps", type=int, default=None, help="Limit training steps")
@@ -66,7 +71,7 @@ def parse_args_and_config():
         if args.sample or args.fast_fid:
             sub = "image_samples" if args.sample else "fid_samples"
             args.image_folder = os.path.join(args.exp, sub, args.image_folder)
-            if os.path.exists(args.image_folder):
+            if os.path.exists(args.image_folder) and not args.keep_image_folder:
                 overwrite = args.ni or input("Image folder exists. Overwrite? (Y/N)").upper() == "Y"
                 if overwrite:
                     shutil.rmtree(args.image_folder)

@@ -313,8 +313,16 @@ class SimultaneousSamplingRunner(SamplerPrograms):
                 )[: self.views]
             origins = jnp.asarray(effective_origins(raw_origins), jnp.float32)
 
+            # sampling.plan_start resumes an interrupted ablation: variants
+            # below it are skipped (their outputs already on disk) while the
+            # rng stream and doThis file numbering stay identical to a full
+            # run, so the resumed variants produce the same samples they
+            # would have in one process.
+            plan_start = int(cfg_get(cfg, "sampling.plan_start", 0))
             for do_this, (kind, keep) in enumerate(self._ablation_plan()):
                 rng, sample_rng = jax.random.split(rng)
+                if do_this < plan_start:
+                    continue
                 init = jax.random.uniform(
                     sample_rng,
                     (self.batch, self.channels, self.rows, self.cols),
