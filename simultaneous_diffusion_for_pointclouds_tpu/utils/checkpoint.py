@@ -21,6 +21,28 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _restore_as_numpy(path: str):
+    """Topology-independent restore: read every leaf as a host numpy array.
+
+    A checkpoint saved on one device topology (e.g. the TPU chip) records
+    per-leaf shardings; a plain ``restore`` on a different topology (CPU
+    tests, a differently-sized mesh) fails trying to rebuild them.  Restoring
+    to numpy sidesteps the recorded shardings entirely — callers device_put
+    (or jit-shard) the tree themselves.
+    """
+    import numpy as np
+
+    ckptr = _ckptr()
+    meta = ckptr.metadata(path)
+    # PyTreeCheckpointer.metadata returns a StepMetadata wrapper; the actual
+    # saved pytree (ArrayMetadata leaves) lives under item_metadata.tree.
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def save_checkpoint(
     log_path: str,
     state: Dict[str, Any],
@@ -50,9 +72,19 @@ def restore_checkpoint(log_path: str, step: Optional[int] = None, target=None):
     path = os.path.join(
         os.path.abspath(log_path), f"ckpt_{step}" if step is not None else "ckpt"
     )
-    if target is None:
-        return _ckptr().restore(path)
-    return _ckptr().restore(path, item=target)
+    try:
+        if target is None:
+            return _ckptr().restore(path)
+        return _ckptr().restore(path, item=target)
+    except ValueError:  # saved on a different device topology
+        if target is None:
+            return _restore_as_numpy(path)
+        import numpy as np
+
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
+        )
+        return _ckptr().restore(path, item=target, restore_args=restore_args)
 
 
 def load_progress(log_path: str) -> Optional[Dict[str, int]]:
@@ -69,7 +101,11 @@ def load_score_params(ckpt_path: str, model, example_input, example_labels):
     as the reference applies EMA before sampling,
     ncsn_runner_kitti_simultaneous.py:485-489)."""
     if os.path.isdir(ckpt_path):
-        state = _ckptr().restore(os.path.abspath(ckpt_path))
+        path = os.path.abspath(ckpt_path)
+        try:
+            state = _ckptr().restore(path)
+        except ValueError:  # saved on a different device topology
+            state = _restore_as_numpy(path)
         return state.get("ema_params", state["params"])
     from .torch_convert import load_reference_checkpoint, torch_state_dict_to_flax
 

@@ -134,6 +134,56 @@ def test_exist_mask_default_falls_back_to_reference_fixture():
         assert got[0].sum() < got[0].size  # not all-ones
 
 
+def test_restore_falls_back_to_numpy_on_topology_mismatch(tmp_path, monkeypatch):
+    """A checkpoint saved on one device topology (the TPU chip) cannot be
+    plain-restored on another (CPU tests): Orbax raises ValueError rebuilding
+    the recorded shardings.  restore_checkpoint must fall back to a
+    topology-independent numpy restore — with and without a target tree."""
+    import jax
+    import optax
+    import orbax.checkpoint as ocp
+
+    from simultaneous_diffusion_for_pointclouds_tpu.utils import checkpoint as ckpt
+
+    state = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "opt_state": optax.ScaleByAdamState(
+            count=np.int32(7),
+            mu={"w": np.full((2, 3), 0.5, np.float32)},
+            nu={"w": np.full((2, 3), 0.25, np.float32)},
+        ),
+    }
+    ckpt.save_checkpoint(str(tmp_path), state, step=3)
+
+    # Simulate the cross-topology failure: any restore WITHOUT explicit
+    # numpy restore_args raises, exactly like a foreign-device sharding.
+    orig = ocp.PyTreeCheckpointer.restore
+
+    def strict(self, path, *args, **kwargs):
+        if kwargs.get("restore_args") is None:
+            raise ValueError("Device TPU v5 lite0 was not found")
+        return orig(self, path, *args, **kwargs)
+
+    monkeypatch.setattr(ocp.PyTreeCheckpointer, "restore", strict)
+
+    flat = ckpt.restore_checkpoint(str(tmp_path), step=3)
+    np.testing.assert_array_equal(flat["params"]["w"], state["params"]["w"])
+    assert isinstance(jax.tree.leaves(flat)[0], np.ndarray)
+
+    # With a target, container types (optax NamedTuples) must be recovered
+    # with fields routed by NAME, not flatten order.
+    restored = ckpt.restore_checkpoint(str(tmp_path), step=3, target=state)
+    assert isinstance(restored["opt_state"], optax.ScaleByAdamState)
+    assert int(restored["opt_state"].count) == 7
+    np.testing.assert_array_equal(restored["opt_state"].nu["w"], state["opt_state"].nu["w"])
+
+    # load_score_params' Orbax-dir path takes the same fallback.
+    params = ckpt.load_score_params(
+        os.path.join(str(tmp_path), "ckpt_3"), None, None, None
+    )
+    np.testing.assert_array_equal(params["w"], state["params"]["w"])
+
+
 def test_exist_mask_shape_mismatch_is_all_ones(tmp_path):
     bad = tmp_path / "exist.npy"
     np.save(bad, np.ones((8, 8)))
