@@ -150,3 +150,47 @@ def test_kitti360_real_layout_roundtrip(tmp_path):
     a = load_velo_to_pose(str(tmp_path / "stripped"))
     b = load_velo_to_pose(str(tmp_path / "prefixed"))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# World consistency of the synthetic provider (round 4): scans of nearby
+# frames must be observations of ONE world cloud, so the novel-view input
+# (old scan warped to the target pose) agrees with the GT captured there —
+# the overlap the cross-view consistency merge exploits.
+
+
+def test_synthetic_provider_world_consistency():
+    from simultaneous_diffusion_for_pointclouds_tpu.data.synthetic import (
+        SyntheticScanProvider,
+    )
+
+    p = SyntheticScanProvider(num_frames=48, n_points=4000, seed=3)
+    _, table = p.poses()
+    world = []
+    for f in (0, 5, 35):
+        local = p.scan(f)
+        h = np.concatenate([local[:, :3].T, np.ones((1, len(local)))], axis=0)
+        world.append((table[float(f)] @ h)[:3].T)
+    # every frame's scan, mapped to world, must lie inside the group cloud:
+    # nearest-neighbour distance to frame 0's world points stays small for
+    # the shared 85% (same points), never the ~uncorrelated-cloud scale
+    a, b = world[0], world[2]
+    # coarse NN via grid hashing (4000 pts, exact would be O(n^2)=16M: fine)
+    d2 = ((a[:, None, :2] - b[None, :, :2]) ** 2).sum(-1)
+    nn = np.sqrt(d2.min(1))
+    assert np.median(nn) < 0.5  # shared world geometry
+    # and the z values live on the same structures
+    assert abs(np.median(a[:, 2]) - np.median(b[:, 2])) < 0.2
+
+
+def test_synthetic_line_input_agrees_with_goal():
+    """Nonzero input pixels of a Line item must mostly agree with GT at the
+    same pixel (same world; differences only from occlusion/subsampling)."""
+    ds = SyntheticScenes(_config(views=3, h=32, w=256))
+    item = ds[2]  # view 2 of scene 0: warp of +15 poses
+    real, goal = item["real"][0], item["goal"][0]
+    both = (real > 0.001) & (goal > 0.001)
+    assert both.mean() > 0.05
+    agree = np.abs(real[both] - goal[both])
+    # most overlapping returns see the same surface (log-range units)
+    assert np.median(agree) < 0.03
