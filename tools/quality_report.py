@@ -42,10 +42,12 @@ def summarise(report: dict, views: int) -> dict:
         joint_beats_classical={
             k: bool(joint.mean() < v) for k, v in classical.items()
         },
-        # progressive ablation: more views -> lower MAE?
+        # progressive ablation: more views -> lower MAE?  Joint setting s
+        # keeps min(s+2, views) views; absent views are zero-filled in the
+        # metrics report and must not dilute the mean.
         progression={
-            s: float(np.mean(np.asarray(v)[: min(views, len(v))]))
-            for s, v in sorted(mae.items())
+            s: float(np.mean(np.asarray(v)[: min(int(s) + 2, views)]))
+            for s, v in sorted(mae.items(), key=lambda kv: int(kv[0]))
         },
         time_taken_s=report.get("time_taken_s", {}),
     )
