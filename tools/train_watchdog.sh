@@ -2,7 +2,7 @@
 # Watchdog for the long training run: the axon tunnel occasionally orphans
 # a client's in-flight execute (~hourly; PERF_NOTES round-4 note), leaving
 # the trainer blocked forever on a dead RPC. If the training log goes
-# stale for >300 s while the process is alive, kill it BY PID (never by
+# stale for >600 s while the process is alive, kill it BY PID (never by
 # pattern) and relaunch with --resume_training (typed Orbax restore +
 # progress.json make this lossless to the last snapshot).
 LOG=/root/repo/exp/logs/flagship_train/stdout.txt
@@ -13,7 +13,7 @@ while [ -f /tmp/train_watchdog_on ]; do
   [ -z "$pid" ] && continue
   kill -0 "$pid" 2>/dev/null || continue   # process exited on its own
   age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
-  if [ "$age" -gt 180 ]; then
+  if [ "$age" -gt 600 ]; then
     echo "$(date) stale ${age}s; killing $pid and resuming" >> /tmp/watchdog.log
     kill -9 "$pid"
     sleep 15
