@@ -43,7 +43,13 @@ def _config():
                 image_width=W, logit_transform=False, rescaled=False),
         model=ns(sigma_begin=50.0, sigma_end=0.01, num_classes=232,
                  sigma_dist="geometric", normalization="InstanceNorm++",
-                 nonlinearity="elu", ngf=NGF),
+                 nonlinearity="elu", ngf=NGF,
+                 # production sampling dtype: bf16 trunk, f32 params/output
+                 # (quality-validated on the trained flagship model —
+                 # PERF_NOTES round-4 bf16 table; both the fused and the
+                 # serialized-baseline path use the same model, so
+                 # vs_baseline stays structural)
+                 compute_dtype="bfloat16"),
     )
 
 

@@ -129,6 +129,15 @@ def _split3(x):
 # (PERF_NOTES round-4 sort levers).
 SORT_PAYLOAD_MODE = "carry"
 
+# jax.lax.sort defaults to a STABLE sort; the z-buffer only needs the
+# (key, depth-bits) order, and ties in that 64-bit composite are either
+# all-identical payloads (sentinels/trash, masked out downstream) or
+# equal-depth duplicate points where any winner is a valid z-buffer
+# result (the reference's CUDA scatter also breaks such ties by schedule).
+# False lets XLA drop the stability passes; flipped by measurement
+# (tools/profile_sort_modes.py, PERF_NOTES round-4 sort levers).
+SORT_STABLE = True
+
 
 def _sort_with_sentinels(keys, value, payloads, valid, live):
     """Append one +inf sentinel per live key (sorts to its segment's end)
@@ -154,12 +163,14 @@ def _sort_with_sentinels(keys, value, payloads, valid, live):
             jnp.arange(m + live, dtype=jnp.int32)[None], (b, m + live)
         )
         sk, s_vbits, perm = jax.lax.sort(
-            (k, _order_bits(vb), iota), num_keys=2
+            (k, _order_bits(vb), iota), num_keys=2, is_stable=SORT_STABLE
         )
         sps = [jnp.take_along_axis(p, perm, axis=1) for p in pays]
         sk, s_vbits, *sps = jax.lax.optimization_barrier((sk, s_vbits, *sps))
     else:
-        sorted_ops = jax.lax.sort((k, _order_bits(vb), *pays), num_keys=2)
+        sorted_ops = jax.lax.sort(
+            (k, _order_bits(vb), *pays), num_keys=2, is_stable=SORT_STABLE
+        )
         sorted_ops = jax.lax.optimization_barrier(sorted_ops)
         sk, s_vbits, *sps = sorted_ops
     raw = _bits_to_float(s_vbits)

@@ -100,7 +100,14 @@ class SimultaneousSamplingRunner(SamplerPrograms):
         self.views = cfg_get(config, "sampling.actualBatchSize", 7)
         self.batch = cfg_get(config, "sampling.batch_size", 42)
         self.groups = self.batch // self.views
-        self.model = get_model(config)  # reads model.compute_dtype itself
+        # Sampling default is a bfloat16 trunk (params/outputs stay f32):
+        # -11% step time for a 0.2% MAE delta on the trained flagship model
+        # (PERF_NOTES round-4 bf16 table).  Configs still pin either dtype
+        # via model.compute_dtype; training keeps the f32 default.
+        if cfg_get(config, "model.compute_dtype", None) is None:
+            self.model = get_model(config, dtype=jnp.bfloat16)
+        else:
+            self.model = get_model(config)
         self.sigmas = get_sigmas(config)
         self.grid = kitti_sampler_grid(self.rows, self.cols)
 

@@ -304,3 +304,32 @@ def test_ablation_plan_modes():
     ]
     with pytest.raises(NotImplementedError):
         runner("bogus", "poses")._ablation_plan()
+
+
+def test_sampling_compute_dtype_defaults_bf16():
+    """Sampling default is the bfloat16 trunk when a config does not pin
+    model.compute_dtype (PERF_NOTES round-4 bf16 table: -11% step time,
+    0.2% MAE delta); an explicit pin wins either way.  Training keeps the
+    float32 default (models/ncsnv2.py get_model)."""
+    import jax.numpy as jnp
+
+    from simultaneous_diffusion_for_pointclouds_tpu.runners.sample import (
+        SimultaneousSamplingRunner,
+    )
+
+    args = argparse.Namespace(seed=0, image_folder="/tmp/unused")
+
+    cfg = _cfg()
+    assert cfg.model.compute_dtype == "float32"  # micro.yml pins f32
+    runner = SimultaneousSamplingRunner(args, cfg, variant="poses")
+    assert runner.model.dtype == jnp.float32
+
+    cfg = _cfg()
+    del cfg.model.compute_dtype
+    runner = SimultaneousSamplingRunner(args, cfg, variant="poses")
+    assert runner.model.dtype == jnp.bfloat16
+
+    cfg = _cfg()
+    cfg.model.compute_dtype = "bfloat16"
+    runner = SimultaneousSamplingRunner(args, cfg, variant="poses")
+    assert runner.model.dtype == jnp.bfloat16

@@ -104,11 +104,18 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     for which in ("stats", "min2"):
         for mode in ("carry", "iota"):
-            zp.SORT_PAYLOAD_MODE = mode
-            make, args = merge_case(which)
-            t = marginal(make, args)
-            print(f"merge {which:6s} {mode:6s}: {t*1e3:8.2f} ms", flush=True)
+            for stable in (True, False):
+                zp.SORT_PAYLOAD_MODE = mode
+                zp.SORT_STABLE = stable
+                make, args = merge_case(which)
+                t = marginal(make, args)
+                print(
+                    f"merge {which:6s} {mode:6s} stable={int(stable)}:"
+                    f" {t*1e3:8.2f} ms",
+                    flush=True,
+                )
         zp.SORT_PAYLOAD_MODE = "carry"
+        zp.SORT_STABLE = True
 
     make_carry, make_iota, args = renumber_case()
     for name, mk in (("carry", make_carry), ("iota", make_iota)):
