@@ -163,7 +163,14 @@ class SyntheticScanProvider:
         self.num_frames = num_frames
         self.n_points = n_points
         self.seed = seed
-        self.group_frames = group_frames
+        # World consistency must hold across a whole scene: a Line view
+        # target ``pose + (k+1)*5`` that crossed a group boundary would be
+        # served from a DIFFERENT corridor cloud, silently reverting those
+        # views to uncorrelated GT (the round-4 bug class).  Growing the
+        # group to cover every frame keeps one world per run whenever
+        # num_frames > group_frames; scene variety comes from the corridor
+        # content varying along its span.
+        self.group_frames = max(group_frames, num_frames)
         self.keep_fraction = keep_fraction
         self._worlds: Dict[int, np.ndarray] = {}
 
@@ -212,7 +219,31 @@ class SyntheticScanProvider:
         return local
 
 
-class SyntheticScenes(KITTI360Im8Batch):
+class _ItemCacheMixin:
+    """Memoize ``__getitem__`` by index.
+
+    Synthetic items are fully deterministic (seeded per frame), so the
+    second epoch onwards is free.  Sized for this corpus: 1920 items of
+    ~2 MB ≈ 4 GB host RAM, far below the box's 125 GB.  Without it the
+    one-world provider is host-bound (~102 ms/item vs the 54 ms device
+    budget on the 1-core box).  Disable with ``data.cache_items: false``.
+    """
+
+    def _init_item_cache(self, config):
+        self._item_cache = {} if cfg_get(config, "data.cache_items", True) else None
+
+    def __getitem__(self, idx):
+        cache = getattr(self, "_item_cache", None)
+        if cache is None:
+            return super().__getitem__(idx)
+        out = cache.get(idx)
+        if out is None:
+            out = super().__getitem__(idx)
+            cache[idx] = out
+        return out
+
+
+class SyntheticScenes(_ItemCacheMixin, KITTI360Im8Batch):
     """KITTI360Im8Batch running on synthetic scans (dataset: "synthetic")."""
 
     def __init__(self, config, split: str = "train"):
@@ -223,9 +254,10 @@ class SyntheticScenes(KITTI360Im8Batch):
             keep_fraction=cfg_get(config, "data.synthetic_keep", 0.7),
         )
         super().__init__(config, split=split, scan_provider=provider)
+        self._init_item_cache(config)
 
 
-class SyntheticAllForOne(KITTI360ImAllForOne):
+class SyntheticAllForOne(_ItemCacheMixin, KITTI360ImAllForOne):
     def __init__(self, config, split: str = "train"):
         provider = SyntheticScanProvider(
             num_frames=cfg_get(config, "data.synthetic_frames", 40),
@@ -234,3 +266,4 @@ class SyntheticAllForOne(KITTI360ImAllForOne):
             keep_fraction=cfg_get(config, "data.synthetic_keep", 0.7),
         )
         super().__init__(config, split=split, scan_provider=provider)
+        self._init_item_cache(config)

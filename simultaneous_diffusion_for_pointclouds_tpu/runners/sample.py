@@ -104,10 +104,15 @@ class SimultaneousSamplingRunner(SamplerPrograms):
         # -11% step time for a 0.2% MAE delta on the trained flagship model
         # (PERF_NOTES round-4 bf16 table).  Configs still pin either dtype
         # via model.compute_dtype; training keeps the f32 default.
-        if cfg_get(config, "model.compute_dtype", None) is None:
+        pinned_dtype = cfg_get(config, "model.compute_dtype", None)
+        if pinned_dtype is None:
             self.model = get_model(config, dtype=jnp.bfloat16)
+            logging.info(
+                "model.compute_dtype unset -> sampling trunk defaults to bfloat16"
+            )
         else:
             self.model = get_model(config)
+            logging.info("sampling trunk compute_dtype: %s", pinned_dtype)
         self.sigmas = get_sigmas(config)
         self.grid = kitti_sampler_grid(self.rows, self.cols)
 

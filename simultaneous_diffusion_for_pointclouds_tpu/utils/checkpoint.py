@@ -10,7 +10,9 @@ copy, holding {params, opt_state, ema_params, epoch, step}.
 from __future__ import annotations
 
 import json
+import logging
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -19,6 +21,62 @@ import orbax.checkpoint as ocp
 
 def _ckptr():
     return ocp.PyTreeCheckpointer()
+
+
+def is_complete_ckpt(path: str) -> bool:
+    """True iff ``path`` is an Orbax OCDBT checkpoint with its data blobs.
+
+    Rolling checkpoints churn their ``d/`` blob files on every save; a
+    checkout that carried only the manifests (e.g. a clone made while the
+    blobs were untracked) still LOOKS like a checkpoint dir but crashes on
+    restore.  Guard on the blob directory being non-empty.
+    """
+    if not os.path.isfile(os.path.join(path, "_CHECKPOINT_METADATA")):
+        return False
+    d = os.path.join(path, "ocdbt.process_0", "d")
+    try:
+        return len(os.listdir(d)) > 0
+    except OSError:
+        return False
+
+
+def resolve_ckpt_dir(path: str) -> Optional[str]:
+    """Resolve ``path`` to a restorable checkpoint directory.
+
+    Accepts either a checkpoint dir itself or a training log dir (the
+    parent holding ``ckpt``/``ckpt_{step}``).  If the named dir is missing
+    or incomplete (manifests without data blobs), falls back to the newest
+    complete sibling/child snapshot — ``ckpt_{step}`` ordered by step, the
+    rolling ``ckpt`` ranked by the ``progress.json`` sidecar's step.
+    Returns None when nothing restorable exists.
+    """
+    path = os.path.abspath(path)
+    if is_complete_ckpt(path):
+        return path
+    bases = [b for b in (path, os.path.dirname(path)) if os.path.isdir(b)]
+    best, best_step = None, -1
+    for base in bases:
+        progress = load_progress(base)
+        for name in sorted(os.listdir(base)):
+            cand = os.path.join(base, name)
+            if name == "ckpt":
+                step = int(progress.get("step", 0)) if progress else 0
+            else:
+                m = re.fullmatch(r"ckpt_(\d+)", name)
+                if not m:
+                    continue
+                step = int(m.group(1))
+            if step > best_step and is_complete_ckpt(cand):
+                best, best_step = cand, step
+        if best is not None:
+            break  # prefer children of the named dir over its siblings
+    if best is not None and best != path:
+        logging.warning(
+            "checkpoint %s is missing or incomplete; restoring %s instead",
+            path,
+            best,
+        )
+    return best
 
 
 def _restore_as_numpy(path: str):
@@ -72,6 +130,7 @@ def restore_checkpoint(log_path: str, step: Optional[int] = None, target=None):
     path = os.path.join(
         os.path.abspath(log_path), f"ckpt_{step}" if step is not None else "ckpt"
     )
+    path = resolve_ckpt_dir(path) or path
     try:
         if target is None:
             return _ckptr().restore(path)
@@ -101,7 +160,12 @@ def load_score_params(ckpt_path: str, model, example_input, example_labels):
     as the reference applies EMA before sampling,
     ncsn_runner_kitti_simultaneous.py:485-489)."""
     if os.path.isdir(ckpt_path):
-        path = os.path.abspath(ckpt_path)
+        path = resolve_ckpt_dir(ckpt_path)
+        if path is None:
+            raise FileNotFoundError(
+                f"no complete checkpoint under {os.path.abspath(ckpt_path)} "
+                "(manifests without data blobs?)"
+            )
         try:
             state = _ckptr().restore(path)
         except ValueError:  # saved on a different device topology

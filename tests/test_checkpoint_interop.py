@@ -190,3 +190,59 @@ def test_exist_mask_shape_mismatch_is_all_ones(tmp_path):
     got = build_exist_mask(str(bad), 2, 64, 1024)
     assert got.shape == (2, 64, 1024)
     assert (got == 1).all()
+
+
+def test_resolve_ckpt_dir_skips_incomplete_rolling(tmp_path):
+    """A clone can carry a rolling ``ckpt/`` whose manifests are tracked but
+    whose OCDBT data blobs are not (blob files churn every save).  The
+    resolver must detect the incomplete dir and fall back to the newest
+    complete ``ckpt_{step}`` snapshot; restore/load paths go through it."""
+    import json
+    import shutil
+
+    from simultaneous_diffusion_for_pointclouds_tpu.utils import checkpoint as ckpt
+
+    state = {"params": {"w": np.arange(4, dtype=np.float32)}}
+    ckpt.save_checkpoint(str(tmp_path), state, step=5, progress={"step": 5})
+    state2 = {"params": {"w": np.arange(4, dtype=np.float32) + 1}}
+    ckpt.save_checkpoint(str(tmp_path), state2, step=9, progress={"step": 9})
+
+    rolling = tmp_path / "ckpt"
+    assert ckpt.is_complete_ckpt(str(rolling))
+    # intact rolling dir resolves to itself and outranks ckpt_5/ckpt_9
+    assert ckpt.resolve_ckpt_dir(str(rolling)) == str(rolling)
+    assert ckpt.resolve_ckpt_dir(str(tmp_path)) == str(rolling)
+
+    # gut the rolling dir's data blobs (what a fresh clone sees)
+    shutil.rmtree(rolling / "ocdbt.process_0" / "d")
+    assert not ckpt.is_complete_ckpt(str(rolling))
+    assert ckpt.resolve_ckpt_dir(str(rolling)) == str(tmp_path / "ckpt_9")
+    assert ckpt.resolve_ckpt_dir(str(tmp_path)) == str(tmp_path / "ckpt_9")
+
+    # load_score_params and restore_checkpoint ride the fallback
+    params = ckpt.load_score_params(str(rolling), None, None, None)
+    np.testing.assert_array_equal(params["w"], state2["params"]["w"])
+    restored = ckpt.restore_checkpoint(str(tmp_path))
+    np.testing.assert_array_equal(restored["params"]["w"], state2["params"]["w"])
+
+    # nothing restorable -> None / clear error
+    shutil.rmtree(tmp_path / "ckpt_9")
+    shutil.rmtree(tmp_path / "ckpt_5")
+    assert ckpt.resolve_ckpt_dir(str(rolling)) is None
+    with pytest.raises(FileNotFoundError):
+        ckpt.load_score_params(str(rolling), None, None, None)
+
+
+def test_synthetic_one_world_covers_all_frames():
+    """World consistency across scene groups: a provider asked for more
+    frames than one group must serve every frame from ONE corridor world,
+    so Line view targets never cross into a different cloud."""
+    from simultaneous_diffusion_for_pointclouds_tpu.data.synthetic import (
+        SyntheticScanProvider,
+    )
+
+    p = SyntheticScanProvider(num_frames=96, n_points=2000, group_frames=48)
+    assert p.group_frames == 96
+    p.scan(0)
+    p.scan(95)
+    assert len(p._worlds) == 1
