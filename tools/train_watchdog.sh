@@ -17,7 +17,7 @@ while [ -f /tmp/train_watchdog_on ]; do
     echo "$(date) stale ${age}s; killing $pid and resuming" >> /tmp/watchdog.log
     kill -9 "$pid"
     sleep 15
-    nohup python main.py --config flagship_train.yml --ni \
+    nohup python main.py --config "${TRAIN_CONFIG:-flagship_train.yml}" --ni \
       --resume_training --doc flagship_train >> /tmp/flagship_train_wd.out 2>&1 &
     echo $! > "$PIDFILE"
     echo "$(date) relaunched as $(cat $PIDFILE)" >> /tmp/watchdog.log
