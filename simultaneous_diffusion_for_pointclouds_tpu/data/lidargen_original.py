@@ -137,3 +137,39 @@ class NuScenesDataset(KITTIRaw):
         # nuScenes LIDAR_TOP .pcd.bin files hold 5 floats per point
         pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
         return pts[:, :4]
+
+
+class LiDARSingle:
+    """dataset: "lidar" — the reference's single-image debug dataset
+    (datasets/lidar.py:11-44): ONE pre-projected range image loaded from
+    ``<exp>/datasets/lidar/0_200.npy``, negatives zeroed, ``log2(d+1)/6``
+    compressed, clipped to [0, 1], then standardized to zero mean / unit
+    std, and served ``length`` (1000) times for overfitting runs
+    (configs/lidar.yml)."""
+
+    length = 1000
+
+    def __init__(self, config, split: str = "train", exp: str = "exp"):
+        path = cfg_get(
+            config, "data.root", os.path.join(exp, "datasets", "lidar")
+        )
+        real = np.load(os.path.join(path, "0_200.npy")).astype(np.float32)
+        real = np.where(real < 0, 0, real) + 0.0001
+        real = np.clip(np.log2(real + 1.0) / 6.0, 0, 1)
+        real -= real.mean()
+        real /= real.std()
+        h = cfg_get(config, "data.image_size")
+        w = cfg_get(config, "data.image_width")
+        self.real = real.reshape(1, h, w)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        real = self.real
+        return dict(
+            real=real,
+            known=np.ones_like(real),
+            sky=np.ones_like(real),
+            index=np.zeros_like(real, dtype=np.int64),
+        )

@@ -42,10 +42,20 @@ def get_dataset(args, config):
             KITTI360SceneCompletion(config, split="train"),
             KITTI360SceneCompletion(config, split="test"),
         )
-    if name in ("KITTI", "lidar"):
+    if name == "KITTI":
         from .lidargen_original import KITTIRaw
 
         return KITTIRaw(config, split="train"), KITTIRaw(config, split="test")
+    if name == "lidar":
+        # the reference's single-image overfitting dataset, NOT raw KITTI
+        # (datasets/__init__.py:37-46 + datasets/lidar.py)
+        from .lidargen_original import LiDARSingle
+
+        exp = getattr(args, "exp", "exp")
+        return (
+            LiDARSingle(config, split="train", exp=exp),
+            LiDARSingle(config, split="test", exp=exp),
+        )
     if name == "KITTIGetMISSING":
         from .lidargen_original import KITTIGetMissing
 
@@ -76,6 +86,10 @@ def get_dataset(args, config):
         from .hdvmine import get_hdvmine_dataset
 
         return get_hdvmine_dataset(name, config)
+    if name == "CIFAR10":
+        from .cifar10 import CIFAR10
+
+        return CIFAR10(config, split="train"), CIFAR10(config, split="test")
     if name == "synthetic":
         from .synthetic import SyntheticScenes
 

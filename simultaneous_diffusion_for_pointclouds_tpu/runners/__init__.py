@@ -11,6 +11,7 @@ PLAIN_DATASETS = frozenset(
         "KITTI",
         "lidar",
         "KITTI360",
+        "CIFAR10",
         "KITTIGetMISSING",
         "nuscenes",
         "HDVMinePreGenerated",

@@ -95,7 +95,8 @@ class SimultaneousSamplingRunner(SamplerPrograms):
         self.config = config
         self.variant = variant
         self.rows = cfg_get(config, "data.image_size", 64)
-        self.cols = cfg_get(config, "data.image_width", 1024)
+        # square image datasets (CIFAR10/CELEBA) carry no image_width key
+        self.cols = cfg_get(config, "data.image_width", None) or self.rows
         self.channels = cfg_get(config, "data.channels", 2)
         self.views = cfg_get(config, "sampling.actualBatchSize", 7)
         self.batch = cfg_get(config, "sampling.batch_size", 42)

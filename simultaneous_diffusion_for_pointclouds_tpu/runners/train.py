@@ -683,7 +683,9 @@ class BaseTrainer(CurriculumTrainer):
         )
         test_loader = BatchLoader(test_ds, batch_size=b, shuffle=True, num_workers=2)
         rng = jax.random.PRNGKey(getattr(self.args, "seed", 1234))
-        h, w = cfg_get(cfg, "data.image_size"), cfg_get(cfg, "data.image_width")
+        h = cfg_get(cfg, "data.image_size")
+        # square image datasets (CIFAR10/CELEBA) carry no image_width key
+        w = cfg_get(cfg, "data.image_width", None) or h
         c = cfg_get(cfg, "data.channels", 2)
         state = self.init_state(rng, jnp.zeros((b, c, h, w), jnp.float32))
         log_path = getattr(self.args, "log_path", None)
@@ -710,8 +712,11 @@ class BaseTrainer(CurriculumTrainer):
         for epoch in range(cfg_get(cfg, "training.n_epochs", 1)):
             for batch_np in loader:
                 step += 1
-                rng, r = jax.random.split(rng)
-                x = data_transform(cfg, jnp.asarray(batch_np["real"]))
+                rng, r, tr = jax.random.split(rng, 3)
+                # tr drives uniform/gaussian dequantization when the config
+                # asks for it (ncsn_original.yml), like the reference's
+                # runner-side data_transform
+                x = data_transform(cfg, jnp.asarray(batch_np["real"]), tr)
                 state, loss = self._base_step(state, r, x)
                 if step % 10 == 0:
                     metrics.scalar("loss", loss, step)
@@ -722,10 +727,10 @@ class BaseTrainer(CurriculumTrainer):
                     except StopIteration:
                         test_iter = iter(test_loader)
                         tb = next(test_iter)
-                    rng, er = jax.random.split(rng)
+                    rng, er, tr2 = jax.random.split(rng, 3)
                     params = state["ema_params"] if self.use_ema else state["params"]
                     tl = self.base_eval_step(
-                        params, er, data_transform(cfg, jnp.asarray(tb["real"]))
+                        params, er, data_transform(cfg, jnp.asarray(tb["real"]), tr2)
                     )
                     metrics.scalar("test_loss", tl, step)
                     logging.info("step: %d, test_loss: %.5f", step, float(tl))

@@ -12,9 +12,14 @@ import numpy as np
 
 def two_channel_to_tiles(sample: np.ndarray) -> np.ndarray:
     """(B, 2, H, W) -> (2B, 3, H, W): channel-major grayscale tiles, exactly
-    the reference's transpose/reshape/cat (e.g. kitti runner :848-851)."""
-    assert sample.ndim == 4 and sample.shape[1] == 2
+    the reference's transpose/reshape/cat (e.g. kitti runner :848-851).
+    RGB batches (CIFAR10/CELEBA via ncsn_original.yml) pass through and
+    single-channel batches (lidar.yml) are replicated to grayscale RGB, as
+    torchvision's ``save_image`` renders them."""
+    assert sample.ndim == 4 and sample.shape[1] in (1, 2, 3)
     b, c, h, w = sample.shape
+    if c == 3:
+        return sample
     t = np.transpose(sample, (1, 0, 2, 3)).reshape(c * b, 1, h, w)
     return np.concatenate([t, t, t], axis=1)
 
