@@ -66,7 +66,10 @@ def complete_scene(
         final_mod = mean_xyz - (ROUGH_MEDIAN - origin)
 
         half = arr.shape[0] // 2
-        distance = np.squeeze(arr[:half, 0]) if arr.ndim > 2 else arr[:half]
+        if arr.ndim == 3:  # organised (2, H, W) view: channel 0 is distance
+            distance = arr[0]
+        else:  # (2B, 3, H, W) completion grid: first half, grid channel 0
+            distance = np.squeeze(arr[:half, 0]) if arr.ndim > 2 else arr[:half]
         real_distance = np.power(2.0, np.abs(distance) * 6.0) - 1.0
 
         px = real_distance * np.cos(az) * np.cos(el) + final_mod[0]

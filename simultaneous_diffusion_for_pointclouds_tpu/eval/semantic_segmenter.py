@@ -29,7 +29,23 @@ import numpy as np
 from .iou import evaluate_folders, map_labels
 
 
+def _load_prediction(path: str) -> np.ndarray:
+    if path.endswith(".pth"):
+        import torch
+
+        return torch.load(path, map_location="cpu").numpy()
+    return np.load(path)
+
+
 def _infer(organised_dir: str, pred_cmd: str | None):
+    """Resolve (or produce) per-view predictions for one Organised/ tree.
+
+    Returns a ``predictions/`` dir mirroring the ``k_<view>/<n>.npy`` layout
+    that :func:`iou.evaluate_folders` walks.  Precomputed RangeNet++ outputs
+    are consumed from each view folder's ``result_rangenet_segmentations/``
+    (``target_rangenet_segmentations/`` for GroundTruth trees), exactly
+    where the reference's SemanticSegmenter.py:28-49 writes/reads them.
+    """
     pred_dir = os.path.join(organised_dir, "predictions")
     if os.path.isdir(pred_dir):
         return pred_dir
@@ -39,22 +55,22 @@ def _infer(organised_dir: str, pred_cmd: str | None):
             pred_cmd.format(src=organised_dir, dst=pred_dir), shell=True, check=True
         )
         return pred_dir
-    # precomputed per-scan predictions next to the views
-    alt = os.path.join(organised_dir, "result_rangenet_segmentations")
-    if os.path.isdir(alt):
-        pred_dir = os.path.join(organised_dir, "predictions")
-        os.makedirs(pred_dir, exist_ok=True)
-        for path in glob.glob(os.path.join(alt, "*")):
-            name = os.path.basename(path).rsplit(".", 1)[0]
-            if path.endswith(".pth"):
-                import torch
-
-                labels = torch.load(path, map_location="cpu").numpy()
-            else:
-                labels = np.load(path)
-            np.save(os.path.join(pred_dir, name + ".npy"), map_labels(labels))
-        return pred_dir
-    return None
+    # precomputed per-scan predictions inside each k_* view folder
+    found = False
+    for k_dir in sorted(glob.glob(os.path.join(organised_dir, "k_*"))):
+        for seg_name in ("result_rangenet_segmentations",
+                         "target_rangenet_segmentations"):
+            alt = os.path.join(k_dir, seg_name)
+            if not os.path.isdir(alt):
+                continue
+            out_k = os.path.join(pred_dir, os.path.basename(k_dir))
+            os.makedirs(out_k, exist_ok=True)
+            for path in glob.glob(os.path.join(alt, "*")):
+                name = os.path.basename(path).rsplit(".", 1)[0]
+                labels = _load_prediction(path)
+                np.save(os.path.join(out_k, name + ".npy"), map_labels(labels))
+            found = True
+    return pred_dir if found else None
 
 
 def evaluate_experiment(exp_root: str, pred_cmd: str | None = None):
