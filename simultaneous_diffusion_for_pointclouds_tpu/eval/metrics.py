@@ -54,6 +54,18 @@ def _classical_baselines(input_dist, input_int, gt_dist, gt_int):
         (input_int <= ignore).astype(np.uint8), 3, flags=0,
     )
     out["NS"] = (ns_d, ns_i)
+    # the Synthesis notebook's inpainting baseline is cv2.INPAINT_TELEA
+    # (QuantifyingNotebookSynthesis.ipynb cell 1); NS kept alongside as the
+    # stronger-in-practice classical comparison
+    te_d = cv2.inpaint(
+        input_dist.astype(np.float32),
+        (input_dist <= ignore).astype(np.uint8), 3, flags=1,
+    )
+    te_i = cv2.inpaint(
+        input_int.astype(np.float32),
+        (input_int <= ignore).astype(np.uint8), 3, flags=1,
+    )
+    out["TELEA"] = (te_d, te_i)
     for name, flag in (
         ("INTER_NEAREST", cv2.INTER_NEAREST),
         ("INTER_LINEAR", cv2.INTER_LINEAR),
